@@ -1,0 +1,173 @@
+"""Linear-Flow: low-rank item-item similarity for one-class CF.
+
+Reference R/model_LinearFlow.R:22-200 ("Practical Linear Models for
+Large-Scale One-Class Collaborative Filtering").  The closed form: get right
+singular vectors V of the interaction matrix, then solve the ridge system
+
+    (V' G'G V + lambda I) W_r = V' G'G        (G = interactions)
+
+with ``rhs = (x V)' x`` and ``lhs = rhs V`` — two sparse-dense MXU products
+and one rank x rank solve.  ``components = W_r`` maps user vectors
+``x V`` to item scores.  ``cross_validate_lambda`` re-solves along a lambda
+path with the warm lhs/rhs reused and an "auto@n" grid derived from
+diag(lhs) (R/model_LinearFlow.R:96-165).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..config import logger, resolve_dtype
+from ..ops.spmm import spmm_buckets
+from ..ops.topk import top_product
+from ..sparse.device import bucket_rows
+from ..utils.metrics import ap_k, ndcg_k
+from .base import MatrixFactorizationRecommender, get_names
+from .soft_als import SVDResult, soft_impute, soft_svd
+
+
+def _solve_ridge(lhs: jax.Array, rhs: jax.Array, lam: float) -> jax.Array:
+    """(lhs + lam I) W = rhs (reference R/model_LinearFlow.R:194-198)."""
+    r = lhs.shape[0]
+    return jnp.linalg.solve(lhs + lam * jnp.eye(r, dtype=lhs.dtype), rhs)
+
+
+class LinearFlow(MatrixFactorizationRecommender):
+    def __init__(
+        self,
+        rank: int = 8,
+        lambda_: float = 0.0,
+        init: Optional[np.ndarray] = None,
+        preprocess: Optional[Callable] = None,
+        solve_right_singular_vectors: str = "soft_impute",
+        precision: str = "float32",
+        seed: Optional[int] = None,
+    ):
+        super().__init__()
+        if solve_right_singular_vectors not in ("soft_impute", "svd"):
+            raise ValueError(
+                "solve_right_singular_vectors must be 'soft_impute' or 'svd'")
+        self.rank = int(rank)
+        self.lambda_ = float(lambda_)
+        self.preprocess = preprocess or (lambda m: m)
+        self.solve_right_singular_vectors = solve_right_singular_vectors
+        self.precision = precision
+        self.dtype = resolve_dtype(precision)
+        self.seed = seed
+        self.v: Optional[jax.Array] = init if init is None else jnp.asarray(
+            init)
+
+    # -- internals ---------------------------------------------------------
+
+    def _get_v(self, x: sp.spmatrix, n_iter: int = 30) -> jax.Array:
+        if self.v is not None:
+            v = jnp.asarray(self.v, self.dtype)
+            if v.shape != (x.shape[1], self.rank):
+                raise ValueError("init v has wrong shape")
+            return v
+        fn = (soft_impute if self.solve_right_singular_vectors == "soft_impute"
+              else soft_svd)
+        tsvd = fn(x, rank=self.rank, lambda_=0.0, n_iter=n_iter,
+                  precision=self.precision, seed=self.seed)
+        v = tsvd.v
+        if v.shape[1] < self.rank:  # final_svd may trim; pad back with zeros
+            v = jnp.pad(v, ((0, 0), (0, self.rank - v.shape[1])))
+        return v.astype(self.dtype)
+
+    def _lhs_rhs(self, csr: sp.csr_matrix):
+        """rhs = (x v)' x, lhs = rhs v — two bucketed SpMMs
+        (reference R/model_LinearFlow.R:59-67)."""
+        xb = bucket_rows(csr, self.dtype)
+        xv = spmm_buckets(xb.buckets, csr.shape[0], self.v)      # (n_u, r)
+        # (x v)' x  ==  (x' (x v))'
+        txb = bucket_rows(csr.T.tocsr(), self.dtype)
+        rhs = spmm_buckets(txb.buckets, csr.shape[1], xv).T      # (r, n_i)
+        lhs = rhs @ self.v                                       # (r, r)
+        return lhs, rhs, xv
+
+    # -- public API --------------------------------------------------------
+
+    def fit_transform(self, x: sp.spmatrix, n_iter: int = 30):
+        self.item_ids = get_names(x, 1)
+        self.user_ids = get_names(x, 0)
+        csr = sp.csr_matrix(x).astype(np.float64)
+        csr = self.preprocess(csr)
+        self.v = self._get_v(csr, n_iter)
+        lhs, rhs, xv = self._lhs_rhs(csr)
+        self.components = np.asarray(_solve_ridge(lhs, rhs, self.lambda_))
+        self._components_l2 = None
+        return xv
+
+    def transform(self, x: sp.spmatrix):
+        if self.v is None:
+            raise RuntimeError("model is not fitted")
+        csr = sp.csr_matrix(x).astype(np.float64)
+        csr = self.preprocess(csr)
+        xb = bucket_rows(csr, self.dtype)
+        return spmm_buckets(xb.buckets, csr.shape[0], self.v)
+
+    def cross_validate_lambda(
+        self,
+        x: sp.spmatrix,
+        x_train: sp.spmatrix,
+        x_test: sp.spmatrix,
+        lambda_: Union[str, Sequence[float]] = "auto@10",
+        metric: str = "map@10",
+        not_recommend: Union[sp.spmatrix, None, str] = "x_train",
+        n_iter: int = 30,
+    ):
+        """Tune lambda with warm restarts of the rank x rank ridge solve
+        (reference R/model_LinearFlow.R:96-165).  Returns a list of
+        ``{"lambda": l, "score": s}`` and keeps the best components."""
+        self.item_ids = get_names(x, 1)
+        if isinstance(not_recommend, str) and not_recommend == "x_train":
+            not_recommend = x_train
+        csr = sp.csr_matrix(self.preprocess(
+            sp.csr_matrix(x).astype(np.float64)))
+        train_csr = sp.csr_matrix(self.preprocess(
+            sp.csr_matrix(x_train).astype(np.float64)))
+
+        m = re.fullmatch(r"(ndcg|map)@(\d+)", metric)
+        if not m:
+            raise ValueError(f"unsupported metric {metric!r}; use map@k/ndcg@k")
+        metric_name, metric_k = m.group(1), int(m.group(2))
+
+        self.v = self._get_v(csr, n_iter)
+        lhs, rhs, _ = self._lhs_rhs(csr)
+
+        if isinstance(lambda_, str):
+            am = re.fullmatch(r"auto@(\d+)", lambda_)
+            if not am:
+                raise ValueError(f"unsupported lambda spec {lambda_!r}")
+            k = int(am.group(1))
+            ridge = np.asarray(jnp.diagonal(lhs), np.float64)
+            lambdas = np.logspace(np.log10(0.1 * ridge.min()),
+                                  np.log10(10 * ridge.max()), k)
+        else:
+            lambdas = np.asarray(lambda_, np.float64)
+
+        xb_train = bucket_rows(train_csr, self.dtype)
+        xq = spmm_buckets(xb_train.buckets, train_csr.shape[0], self.v)
+
+        results = []
+        best = -np.inf
+        for lam in lambdas:
+            Y = _solve_ridge(lhs, rhs, float(lam))
+            idx, _ = top_product(np.asarray(xq, np.float32),
+                                 np.asarray(Y, np.float32), metric_k,
+                                 not_recommend=not_recommend)
+            scorer = ap_k if metric_name == "map" else ndcg_k
+            score = float(np.nanmean(scorer(idx, x_test)))
+            results.append({"lambda": float(lam), "score": score})
+            if score >= best or self.components is None:
+                best = score
+                self.components = np.asarray(Y)
+                self.lambda_ = float(lam)
+            logger.info("lambda %.4f score %.4f", lam, score)
+        return results

@@ -1,0 +1,309 @@
+"""Batched alternating-least-squares sweep kernels for WRMF.
+
+This is the TPU-native redesign of the reference ALS kernels
+(``als_implicit`` inst/include/wrmf_implicit.hpp:91-305, ``als_explicit``
+inst/include/wrmf_explicit.hpp:34-174).  Where the reference loops over
+entities with OpenMP and solves one rank-dim system per thread, here a whole
+nnz-bucket of entities is solved at once:
+
+    gather   Xg   = src[col_idx]            (B, L, d)   -- one XLA gather
+    weight   lhs  = XtX + Xg' diag(w) Xg    (B, d, d)   -- batched MXU matmul
+    rhs      rhs  = Xg' c                   (B, d)
+    solve    batched Cholesky / 3-step CG / NNLS coordinate descent
+
+Bias handling uses the reference's augmented-factor convention
+(wrmf_implicit.hpp:96-101): with user/item biases enabled the factor arrays
+have ``rank + 2`` columns; user rows are ``[1, emb..., u_bias]`` and item
+rows ``[i_bias, emb..., 1]`` so a plain dot product scores
+``i_bias + emb.emb + u_bias``.
+
+Loss semantics match the reference exactly (normalized by total nnz, with a
+final lambda * ||src||^2 term over learned parameters,
+wrmf_implicit.hpp:257-304, wrmf_explicit.hpp:131-173).
+
+Note: for the implicit model with *both* per-entity biases and a global bias
+the reference's Cholesky rhs (wrmf_implicit.hpp:226) and CG rhs
+(wrmf_implicit.hpp:71) disagree by a ``g*(c-1)`` term; we implement the
+mathematically-consistent CG form (the two coincide for ``g == 0``, which is
+the only configuration the reference tests exercise).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import accum_dtype
+from ..sparse.device import RowBucket
+from .solvers import batched_cg, batched_nnls, batched_spd_solve
+
+# Solver codes, mirroring reference inst/include/wrmf.hpp:16-18
+CHOLESKY = 0
+CONJUGATE_GRADIENT = 1
+NNLS = 2
+
+_SOLVER_CODES = {"cholesky": CHOLESKY, "conjugate_gradient": CONJUGATE_GRADIENT,
+                 "nnls": NNLS}
+
+
+@dataclass(frozen=True)
+class ALSConfig:
+    """Static configuration of one ALS half-sweep (hashable -> jit static)."""
+
+    feedback: str               # "implicit" | "explicit"
+    solver: int                 # CHOLESKY | CONJUGATE_GRADIENT | NNLS
+    cg_steps: int = 3
+    with_biases: bool = False
+    #: True when the *source* factor carries its bias in the last column
+    #: (i.e. source = users, solving items); mirrors ``is_x_bias_last_row``
+    #: in the reference (wrmf_implicit.hpp:96-101).
+    bias_last_in_source: bool = True
+    use_global_bias: bool = False
+    dynamic_lambda: bool = False
+    nnls_max_iter: int = 10_000
+
+
+def solver_code(name: str) -> int:
+    try:
+        return _SOLVER_CODES[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown solver {name!r}; one of {sorted(_SOLVER_CODES)}"
+        ) from None
+
+
+def _active_slices(cfg: ALSConfig, R: int):
+    """Column slices: (source active dims, target solved dims == same size).
+
+    With biases the source drops its own bias column but keeps its ones
+    column (which generates the target's bias coordinate) — the batched
+    equivalent of ``drop_row`` (reference inst/include/wrmf_utils.hpp:4-10).
+    """
+    if not cfg.with_biases:
+        return slice(0, R), slice(0, R)
+    if cfg.bias_last_in_source:
+        # source = [1, emb..., bias]  ->  active [:-1]
+        # target = [bias, emb..., 1]  ->  solved [:-1], ones col at R-1
+        return slice(0, R - 1), slice(0, R - 1)
+    # source = [bias, emb..., 1]  ->  active [1:]
+    # target = [1, emb..., bias]  ->  solved [1:], ones col at 0
+    return slice(1, R), slice(1, R)
+
+
+def _solve_bucket_implicit(
+    src_act: jax.Array,            # (n_src, d)
+    x_biases: Optional[jax.Array],  # (n_src,) or None
+    XtX: jax.Array,                # (d, d) incl. lambda ridge
+    rhs_init: Optional[jax.Array],  # (d,) or None
+    bucket: RowBucket,
+    x_init: jax.Array,             # (B, d) warm start
+    lam: jax.Array,
+    g: jax.Array,                  # global bias (0 when unused)
+    cfg: ALSConfig,
+    sdt,
+) -> Tuple[jax.Array, jax.Array]:
+    """One bucket of per-entity implicit-feedback normal-equation solves.
+
+    Math of ``als_implicit`` (reference inst/include/wrmf_implicit.hpp:91-270):
+    lhs = XtX + Xg' diag(c-1) Xg,  rhs = Xg' (c - (c-1)(x_bias+g)) + rhs_init.
+    """
+    mask = bucket.mask()
+    Xg = src_act[bucket.col_idx].astype(sdt)             # (B, L, d)
+    c = bucket.values.astype(sdt)
+    cm = jnp.where(mask, c, 0.0)
+    cm1 = jnp.where(mask, c - 1.0, 0.0)
+
+    if cfg.with_biases:
+        xb = x_biases[bucket.col_idx].astype(sdt)        # (B, L)
+        offs = xb + g
+    elif cfg.use_global_bias:
+        xb = None
+        offs = g
+    else:
+        xb = None
+        offs = None
+
+    c_eff = cm if offs is None else cm - cm1 * offs
+    rhs = jnp.einsum("bld,bl->bd", Xg, c_eff,
+                     preferred_element_type=sdt)
+    if rhs_init is not None:
+        rhs = rhs + rhs_init[None, :]
+
+    if cfg.solver == CONJUGATE_GRADIENT:
+        def matvec(p):
+            t = jnp.einsum("bld,bd->bl", Xg, p,
+                           preferred_element_type=sdt) * cm1
+            return p @ XtX + jnp.einsum("bl,bld->bd", t, Xg,
+                                        preferred_element_type=sdt)
+        y = batched_cg(matvec, rhs, x_init.astype(sdt), cfg.cg_steps)
+    else:
+        Xgw = Xg * cm1[..., None]
+        lhs = XtX[None] + jnp.einsum("bld,ble->bde", Xgw, Xg,
+                                     preferred_element_type=sdt)
+        if cfg.solver == NNLS:
+            y = batched_nnls(lhs, rhs, x_init.astype(sdt),
+                             max_iter=cfg.nnls_max_iter)
+        else:
+            y = batched_spd_solve(lhs, rhs)
+
+    # Per-entity loss with the NEW target factor (wrmf_implicit.hpp:257-270):
+    # sum_nnz c * ((1-g) - y.x - x_bias)^2 + lambda * ||y||^2
+    pred = jnp.einsum("bld,bd->bl", Xg, y, preferred_element_type=sdt)
+    base = 1.0 - pred
+    if cfg.use_global_bias:
+        base = base - g
+    if cfg.with_biases:
+        base = base - xb
+    loss = jnp.einsum("bl,bl->b", cm, base * base) + lam * jnp.sum(y * y, -1)
+    return y, loss
+
+
+def _solve_bucket_explicit(
+    src_act: jax.Array,
+    x_biases: Optional[jax.Array],
+    bucket: RowBucket,
+    x_init: jax.Array,
+    lam: jax.Array,
+    cfg: ALSConfig,
+    sdt,
+) -> Tuple[jax.Array, jax.Array]:
+    """One bucket of explicit-feedback (observed-entries-only) solves.
+
+    Math of ``als_explicit`` (reference inst/include/wrmf_explicit.hpp:34-132):
+    lhs = Xg' Xg + lambda_use I,  rhs = Xg' (r - x_bias),
+    lambda_use = lambda * nnz when dynamic (wrmf_explicit.hpp:78).
+    """
+    mask = bucket.mask()
+    Xg = src_act[bucket.col_idx].astype(sdt) * mask[..., None]
+    conf = jnp.where(mask, bucket.values.astype(sdt), 0.0)
+    if cfg.with_biases:
+        xb = x_biases[bucket.col_idx].astype(sdt)
+        conf = conf - jnp.where(mask, xb, 0.0)
+
+    nnz = bucket.nnz.astype(sdt)
+    lam_use = lam * nnz if cfg.dynamic_lambda else jnp.full_like(nnz, lam)
+
+    rhs = jnp.einsum("bld,bl->bd", Xg, conf, preferred_element_type=sdt)
+
+    if cfg.solver == CONJUGATE_GRADIENT:
+        def matvec(p):
+            t = jnp.einsum("bld,bd->bl", Xg, p, preferred_element_type=sdt)
+            return (jnp.einsum("bl,bld->bd", t, Xg,
+                               preferred_element_type=sdt)
+                    + lam_use[:, None] * p)
+        y = batched_cg(matvec, rhs, x_init.astype(sdt), cfg.cg_steps)
+    else:
+        d = Xg.shape[-1]
+        lhs = jnp.einsum("bld,ble->bde", Xg, Xg, preferred_element_type=sdt)
+        lhs = lhs + lam_use[:, None, None] * jnp.eye(d, dtype=sdt)[None]
+        # keep padding rows nonsingular (their solutions are discarded)
+        invalid = (bucket.nnz == 0) & (lam_use == 0)
+        lhs = lhs + invalid[:, None, None] * jnp.eye(d, dtype=sdt)[None]
+        if cfg.solver == NNLS:
+            y = batched_nnls(lhs, rhs, x_init.astype(sdt),
+                             max_iter=cfg.nnls_max_iter)
+        else:
+            y = batched_spd_solve(lhs, rhs)
+
+    pred = jnp.einsum("bld,bd->bl", Xg, y, preferred_element_type=sdt)
+    diff = conf - pred
+    loss = jnp.sum(diff * diff, -1) + lam_use * jnp.sum(y * y, -1)
+    return y, loss
+
+
+def wrmf_sweep(
+    src: jax.Array,                 # (n_src, R) source factors
+    tgt_old: jax.Array,             # (n_tgt, R) previous target factors
+    buckets: Tuple[RowBucket, ...],  # target rows over source columns
+    src_cnt: Optional[jax.Array],   # (n_src,) nnz counts (dynamic lambda loss)
+    lam: jax.Array,
+    g: jax.Array,
+    cfg: ALSConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """One ALS half-sweep: re-solve every target entity given fixed sources.
+
+    Returns (new target factors (n_tgt, R), summed un-normalized loss).
+    Mirrors one call of ``private$solver`` in the reference fit loop
+    (R/model_WRMF.R:318-338).
+    """
+    n_tgt = tgt_old.shape[0]
+    R = src.shape[1]
+    dtype = src.dtype
+    sdt = accum_dtype(dtype)
+    lam = jnp.asarray(lam, sdt)
+    g = jnp.asarray(g, sdt)
+
+    src_sl, tgt_sl = _active_slices(cfg, R)
+    src_act = src[:, src_sl]
+    d = src_act.shape[1]
+    if cfg.with_biases:
+        bias_col = (R - 1) if cfg.bias_last_in_source else 0
+        x_biases = src[:, bias_col]
+    else:
+        x_biases = None
+
+    # Gram of active source factors + ridge — one big MXU matmul, the analog
+    # of the full-BLAS-threads tcrossprod in the reference (R/model_WRMF.R:474-486).
+    XtX = jnp.einsum("nd,ne->de", src_act.astype(sdt), src_act.astype(sdt),
+                     preferred_element_type=sdt)
+    is_implicit = cfg.feedback == "implicit"
+    if is_implicit:
+        XtX = XtX + lam * jnp.eye(d, dtype=sdt)
+
+    rhs_init = None
+    if is_implicit:
+        if cfg.with_biases:
+            # rhs over the all-missing baseline: -sum_j (bias_j + g) * x_j
+            rhs_init = -jnp.einsum(
+                "nd,n->d", src_act.astype(sdt), x_biases.astype(sdt) + g,
+                preferred_element_type=sdt)
+        elif cfg.use_global_bias:
+            # global_bias_base = -g * sum(X) (wrmf_implicit.hpp:111-112)
+            rhs_init = -g * jnp.sum(src_act.astype(sdt), axis=0)
+
+    old_act = tgt_old[:, tgt_sl]
+    result_act = jnp.zeros((n_tgt + 1, d), dtype=dtype)
+    loss = jnp.zeros((), sdt)
+
+    for bucket in buckets:
+        valid = bucket.row_ids < n_tgt
+        x_init = old_act[jnp.minimum(bucket.row_ids, n_tgt - 1)]
+        if is_implicit:
+            y, le = _solve_bucket_implicit(
+                src_act, x_biases, XtX, rhs_init, bucket, x_init, lam, g,
+                cfg, sdt)
+        else:
+            y, le = _solve_bucket_explicit(
+                src_act, x_biases, bucket, x_init, lam, cfg, sdt)
+        y = jnp.where(valid[:, None], y, 0.0).astype(dtype)
+        loss = loss + jnp.sum(jnp.where(valid, le, 0.0))
+        result_act = result_act.at[bucket.row_ids].set(y)
+
+    result_act = result_act[:n_tgt]
+
+    if cfg.with_biases:
+        ones = jnp.ones((n_tgt, 1), dtype=dtype)
+        if cfg.bias_last_in_source:   # target ones col is last
+            tgt_new = jnp.concatenate([result_act, ones], axis=1)
+        else:                         # target ones col is first
+            tgt_new = jnp.concatenate([ones, result_act], axis=1)
+    else:
+        tgt_new = result_act
+
+    # Final regularizer over learned source parameters
+    # (wrmf_implicit.hpp:286-303, wrmf_explicit.hpp:147-172).
+    if cfg.with_biases:
+        excl_sl = slice(1, R) if cfg.bias_last_in_source else slice(0, R - 1)
+        X_excl = src[:, excl_sl].astype(sdt)
+    else:
+        X_excl = src.astype(sdt)
+    if cfg.feedback == "explicit" and cfg.dynamic_lambda:
+        loss = loss + lam * jnp.einsum(
+            "nd,n->", X_excl * X_excl, src_cnt.astype(sdt))
+    else:
+        loss = loss + lam * jnp.sum(X_excl * X_excl)
+
+    return tgt_new, loss

@@ -1,0 +1,203 @@
+"""Device-resident sparse containers.
+
+The reference's substrate is a zero-copy ``MappedCSR``/``MappedCSC`` view over
+host memory (reference inst/include/mapped_csr.hpp:9-36, mapped_csc.hpp:9-29)
+whose rows are walked by dynamically-scheduled OpenMP threads.  The TPU-native
+replacement is a *bucketed, padded* row container: rows are grouped by
+nnz-bucket (power-of-two padded lengths) so that every bucket is a dense
+``(B, L)`` block of column indices and values — static shapes that XLA can
+tile onto the MXU, with per-row masks recovering exact sparse semantics.
+Bucketing by nnz is the TPU answer to ``schedule(dynamic)`` load balancing
+(reference inst/include/wrmf_implicit.hpp:162-174): no wasted FLOPs on
+wildly-mismatched row lengths, no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+
+class RowBucket(NamedTuple):
+    """One padded bucket of sparse rows (a pytree of device arrays).
+
+    ``row_ids[b]`` is the original row index of batch entry ``b``; padding
+    entries use ``row_id == n_rows`` (a dummy slot sliced off after scatter).
+    ``col_idx`` padding points at column 0 and is neutralized by masks derived
+    from ``nnz``.
+    """
+
+    row_ids: jax.Array  # (B,)   int32
+    col_idx: jax.Array  # (B, L) int32
+    values: jax.Array   # (B, L) float
+    nnz: jax.Array      # (B,)   int32
+
+    @property
+    def batch(self) -> int:
+        return self.row_ids.shape[0]
+
+    @property
+    def pad_len(self) -> int:
+        return self.col_idx.shape[1]
+
+    def mask(self) -> jax.Array:
+        """(B, L) validity mask."""
+        iota = jax.lax.broadcasted_iota(jnp.int32, self.col_idx.shape, 1)
+        return iota < self.nnz[:, None]
+
+
+@dataclass(frozen=True)
+class BucketedRows:
+    """A sparse matrix as a list of padded row buckets, ready for batched
+    per-row solves.  Replaces the reference's per-column OpenMP loop over a
+    ``MappedCSC`` (inst/include/wrmf_implicit.hpp:175-184)."""
+
+    buckets: Tuple[RowBucket, ...]
+    n_rows: int
+    n_cols: int
+    nnz: int
+    #: row indices with zero nnz (handled outside the buckets unless
+    #: ``include_empty`` was set at construction)
+    empty_rows: np.ndarray
+
+    @property
+    def shapes(self) -> List[Tuple[int, int]]:
+        return [(b.batch, b.pad_len) for b in self.buckets]
+
+
+def _next_pow2(x: np.ndarray) -> np.ndarray:
+    x = np.maximum(x, 1)
+    return (2 ** np.ceil(np.log2(x))).astype(np.int64)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def bucket_rows(
+    x: sp.spmatrix,
+    dtype=jnp.float32,
+    *,
+    min_len: int = 8,
+    row_align: int = 8,
+    max_buckets: int = 10,
+    include_empty: bool = False,
+    max_elems: Optional[int] = 1 << 22,
+) -> BucketedRows:
+    """Build a :class:`BucketedRows` from a scipy sparse matrix.
+
+    Rows are grouped by ``next_pow2(nnz)`` (clamped to ``min_len``); the
+    number of distinct bucket lengths is capped at ``max_buckets`` by merging
+    the least-populated lengths upward, bounding the number of distinct XLA
+    compilations while keeping padding waste geometric.  Buckets whose
+    ``B * L`` footprint exceeds ``max_elems`` are split into batch chunks so
+    the gathered ``(B, L, rank)`` factor blocks stay within device memory.
+    """
+    csr = sp.csr_matrix(x)
+    csr.sort_indices()
+    n_rows, n_cols = csr.shape
+    row_nnz = np.diff(csr.indptr).astype(np.int64)
+
+    empty = np.flatnonzero(row_nnz == 0).astype(np.int32)
+    if include_empty:
+        active = np.arange(n_rows, dtype=np.int64)
+    else:
+        active = np.flatnonzero(row_nnz > 0).astype(np.int64)
+
+    if active.size == 0:
+        return BucketedRows((), n_rows, n_cols, int(csr.nnz), empty)
+
+    lengths = np.maximum(_next_pow2(row_nnz[active]), min_len)
+
+    # Cap the number of distinct bucket lengths: repeatedly merge the
+    # smallest-population length into the next larger one.
+    uniq, counts = np.unique(lengths, return_counts=True)
+    while len(uniq) > max_buckets:
+        k = int(np.argmin(counts[:-1]))  # never merge the largest upward-less
+        lengths[lengths == uniq[k]] = uniq[k + 1]
+        uniq, counts = np.unique(lengths, return_counts=True)
+
+    np_val_dtype = np.float64 if jnp.dtype(dtype) == jnp.float64 else np.float32
+
+    buckets: List[RowBucket] = []
+    for L in uniq:
+        L = int(L)
+        rows_all = active[lengths == L]
+        if max_elems is not None:
+            chunk_rows = max(_round_up(max(max_elems // L, 1), row_align),
+                             row_align)
+        else:
+            chunk_rows = len(rows_all)
+        for s in range(0, len(rows_all), chunk_rows):
+            rows = rows_all[s:s + chunk_rows]
+            B = _round_up(len(rows), row_align)
+            nnz_arr = np.zeros((B,), dtype=np.int32)
+            nnz_arr[: len(rows)] = row_nnz[rows]
+            row_ids = np.full((B,), n_rows, dtype=np.int32)
+            row_ids[: len(rows)] = rows
+            # vectorized padded gather of each row's CSR segment
+            starts = np.zeros((B,), dtype=np.int64)
+            starts[: len(rows)] = csr.indptr[rows]
+            offs = np.arange(L, dtype=np.int64)[None, :]
+            flat = np.minimum(starts[:, None] + offs,
+                              max(csr.nnz - 1, 0))
+            valid = offs < nnz_arr[:, None]
+            if csr.nnz:
+                col_idx = np.where(valid, csr.indices[flat], 0).astype(np.int32)
+                values = np.where(valid, csr.data[flat], 0).astype(np_val_dtype)
+            else:
+                col_idx = np.zeros((B, L), np.int32)
+                values = np.zeros((B, L), np_val_dtype)
+            buckets.append(RowBucket(
+                row_ids=jnp.asarray(row_ids),
+                col_idx=jnp.asarray(col_idx),
+                values=jnp.asarray(values, dtype=dtype),
+                nnz=jnp.asarray(nnz_arr),
+            ))
+
+    return BucketedRows(tuple(buckets), n_rows, n_cols, int(csr.nnz), empty)
+
+
+class COOBatch(NamedTuple):
+    """Padded COO triplet shards for SGD-family models (GloVe etc.).
+
+    Replaces the reference's raw triplet loop (src/GloVe.cpp:91-156)."""
+
+    rows: jax.Array  # (N,) int32
+    cols: jax.Array  # (N,) int32
+    vals: jax.Array  # (N,) float
+    valid: jax.Array  # (N,) bool
+
+
+def coo_batches(
+    x: sp.spmatrix, dtype=jnp.float32, *, batch_size: int = 1 << 16,
+    shuffle: Optional[np.random.Generator] = None,
+) -> List[COOBatch]:
+    """Split a sparse matrix's triplets into fixed-size padded COO batches."""
+    coo = sp.coo_matrix(x)
+    n = coo.nnz
+    order = np.arange(n)
+    if shuffle is not None:
+        shuffle.shuffle(order)
+    np_val = np.float64 if jnp.dtype(dtype) == jnp.float64 else np.float32
+    out = []
+    for s in range(0, n, batch_size):
+        e = min(s + batch_size, n)
+        m = e - s
+        idx = order[s:e]
+        rows = np.zeros((batch_size,), np.int32)
+        cols = np.zeros((batch_size,), np.int32)
+        vals = np.zeros((batch_size,), np_val)
+        valid = np.zeros((batch_size,), bool)
+        rows[:m] = coo.row[idx]
+        cols[:m] = coo.col[idx]
+        vals[:m] = coo.data[idx]
+        valid[:m] = True
+        out.append(COOBatch(jnp.asarray(rows), jnp.asarray(cols),
+                            jnp.asarray(vals, dtype=dtype), jnp.asarray(valid)))
+    return out

@@ -1,0 +1,57 @@
+"""Batched dense solver kernels vs. numpy/scipy oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+import scipy.optimize
+
+from rsparse_tpu.ops.solvers import batched_cg, batched_nnls, batched_spd_solve
+
+
+def _spd_batch(rng, B, d, jitter=1.0):
+    A = rng.standard_normal((B, d, d))
+    lhs = A @ A.transpose(0, 2, 1) + jitter * np.eye(d)
+    rhs = rng.standard_normal((B, d))
+    return lhs, rhs
+
+
+def test_batched_spd_solve():
+    rng = np.random.default_rng(0)
+    lhs, rhs = _spd_batch(rng, 17, 12)
+    x = np.asarray(batched_spd_solve(jnp.asarray(lhs), jnp.asarray(rhs)))
+    expect = np.linalg.solve(lhs, rhs[..., None])[..., 0]
+    np.testing.assert_allclose(x, expect, rtol=1e-5, atol=1e-8)
+
+
+def test_batched_cg_matches_exact():
+    rng = np.random.default_rng(1)
+    lhs, rhs = _spd_batch(rng, 9, 8, jitter=5.0)
+    matvec = lambda p: jnp.einsum("bij,bj->bi", jnp.asarray(lhs), p)
+    x = np.asarray(batched_cg(matvec, jnp.asarray(rhs),
+                              jnp.zeros_like(jnp.asarray(rhs)), n_steps=50))
+    expect = np.linalg.solve(lhs, rhs[..., None])[..., 0]
+    np.testing.assert_allclose(x, expect, rtol=1e-4, atol=1e-6)
+
+
+def test_batched_cg_warm_start_early_freeze():
+    # already-converged entries must not move (per-entity freeze mirrors the
+    # reference's CG_TOL break, inst/include/wrmf_implicit.hpp:27)
+    rng = np.random.default_rng(2)
+    lhs, rhs = _spd_batch(rng, 4, 6, jitter=3.0)
+    exact = np.linalg.solve(lhs, rhs[..., None])[..., 0]
+    matvec = lambda p: jnp.einsum("bij,bj->bi", jnp.asarray(lhs), p)
+    x = np.asarray(batched_cg(matvec, jnp.asarray(rhs), jnp.asarray(exact),
+                              n_steps=3))
+    np.testing.assert_allclose(x, exact, rtol=1e-5, atol=1e-7)
+
+
+def test_batched_nnls():
+    rng = np.random.default_rng(3)
+    B, d = 12, 7
+    lhs, rhs = _spd_batch(rng, B, d, jitter=2.0)
+    init = np.abs(rng.standard_normal((B, d)))
+    x = np.asarray(batched_nnls(jnp.asarray(lhs), jnp.asarray(rhs),
+                                jnp.asarray(init), max_iter=2000))
+    assert (x >= 0).all()
+    for b in range(B):
+        expect, _ = scipy.optimize.nnls(lhs[b], rhs[b])
+        np.testing.assert_allclose(x[b], expect, rtol=1e-3, atol=1e-3)

@@ -1,0 +1,82 @@
+"""Data substrate: RData parsing, bucketing round-trip, splits."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from rsparse_tpu.sparse.device import bucket_rows, coo_batches
+from rsparse_tpu.utils.split import train_test_split
+
+
+def test_ml100k_loads(ml100k):
+    assert ml100k.shape == (943, 1682)
+    assert ml100k.nnz == 100_000
+    assert ml100k.data.min() == 1.0 and ml100k.data.max() == 5.0
+    assert ml100k.row_names[0] == "1"
+    assert len(ml100k.col_names) == 1682
+
+
+def _reconstruct(br, shape):
+    out = sp.dok_matrix(shape)
+    for b in br.buckets:
+        rid = np.asarray(b.row_ids)
+        cid = np.asarray(b.col_idx)
+        val = np.asarray(b.values)
+        nnz = np.asarray(b.nnz)
+        for i in range(len(rid)):
+            if rid[i] >= shape[0]:
+                continue
+            for l in range(nnz[i]):
+                out[rid[i], cid[i, l]] = val[i, l]
+    return sp.csr_matrix(out)
+
+
+@pytest.mark.parametrize("include_empty", [False, True])
+def test_bucket_roundtrip(include_empty):
+    rng = np.random.default_rng(0)
+    m = sp.random(64, 40, density=0.1, random_state=np.random.RandomState(1),
+                  format="csr")
+    # plant an empty row and a heavy row
+    m = sp.vstack([m, sp.csr_matrix((1, 40)),
+                   sp.csr_matrix(rng.random((1, 40)))]).tocsr()
+    br = bucket_rows(m, include_empty=include_empty)
+    rec = _reconstruct(br, m.shape)
+    np.testing.assert_allclose(rec.toarray(), m.toarray(), rtol=1e-6)
+    assert br.nnz == m.nnz
+    row_nnz = np.diff(m.indptr)
+    covered = sum(int((np.asarray(b.row_ids) < m.shape[0]).sum())
+                  for b in br.buckets)
+    expected = m.shape[0] if include_empty else int((row_nnz > 0).sum())
+    assert covered == expected
+    assert (np.asarray(br.empty_rows) == np.flatnonzero(row_nnz == 0)).all()
+
+
+def test_bucket_shapes_capped():
+    m = sp.random(500, 100, density=0.05,
+                  random_state=np.random.RandomState(2), format="csr")
+    br = bucket_rows(m, max_buckets=3)
+    assert len(br.buckets) <= 3
+    for b in br.buckets:
+        assert b.pad_len >= int(np.asarray(b.nnz).max())
+
+
+def test_train_test_split(ml100k):
+    rng = np.random.default_rng(42)
+    train, test = train_test_split(ml100k, 0.3, rng)
+    assert train.shape == test.shape == ml100k.shape
+    assert train.nnz + test.nnz == ml100k.nnz
+    # disjoint entries that sum back to the original
+    np.testing.assert_allclose(
+        (train + test).toarray(), ml100k.toarray())
+    frac = test.nnz / ml100k.nnz
+    assert 0.25 < frac < 0.35
+
+
+def test_coo_batches():
+    m = sp.random(50, 30, density=0.2, random_state=np.random.RandomState(3))
+    batches = coo_batches(m, batch_size=128)
+    total = sum(int(np.asarray(b.valid).sum()) for b in batches)
+    assert total == m.nnz
+    s = sum(float((np.asarray(b.vals) * np.asarray(b.valid)).sum())
+            for b in batches)
+    np.testing.assert_allclose(s, m.sum(), rtol=1e-5)

@@ -1,0 +1,85 @@
+"""Top-k retrieval vs. dense oracle and ranking-metric hand cases.
+
+The reference checks top_product against a dense order() oracle
+(tests/testthat/test-top-product.R:3-13) and metrics on hand-built 1-row
+cases (test-metrics.R)."""
+
+import numpy as np
+import scipy.sparse as sp
+
+from rsparse_tpu.ops.topk import top_product
+from rsparse_tpu.utils.metrics import ap_k, ndcg_k
+
+
+def test_top_product_matches_dense_oracle():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((37, 8)).astype(np.float32)
+    y = rng.standard_normal((8, 53)).astype(np.float32)
+    k = 7
+    idx, scores = top_product(x, y, k)
+    dense = x @ y
+    expect = np.argsort(-dense, axis=1)[:, :k]
+    np.testing.assert_array_equal(idx, expect)
+    np.testing.assert_allclose(
+        scores, np.take_along_axis(dense, expect, 1), rtol=1e-5)
+
+
+def test_top_product_masking():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((10, 4)).astype(np.float32)
+    y = rng.standard_normal((4, 20)).astype(np.float32)
+    nr = sp.random(10, 20, density=0.3, random_state=np.random.RandomState(2),
+                   format="csr")
+    exclude = np.array([3, 17])
+    idx, scores = top_product(x, y, 5, not_recommend=nr, exclude=exclude)
+    nr_dense = nr.toarray() != 0
+    for u in range(10):
+        for rank_pos, j in enumerate(idx[u]):
+            assert not nr_dense[u, j]
+            assert j not in exclude
+    # oracle with masking
+    dense = x @ y
+    dense[nr_dense] = -np.inf
+    dense[:, exclude] = -np.inf
+    expect = np.argsort(-dense, axis=1)[:, :5]
+    np.testing.assert_array_equal(idx, expect)
+
+
+def test_top_product_glob_mean():
+    x = np.ones((2, 3), np.float32)
+    y = np.ones((3, 4), np.float32)
+    _, scores = top_product(x, y, 2, glob_mean=1.5)
+    np.testing.assert_allclose(scores, 4.5)
+
+
+def test_ap_k_perfect_and_worst():
+    # mirrors reference man-page example: predicting item indices that are
+    # exactly the relevant ones gives ap = 1
+    actual = sp.csr_matrix(
+        np.array([[0, 0, 0, 0, 1, 0, 1, 0, 1, 0]], dtype=float))
+    preds = np.array([[4, 6, 8]])  # 0-based hits
+    np.testing.assert_allclose(ap_k(preds, actual), [1.0])
+    preds_bad = np.array([[0, 1, 2]])
+    np.testing.assert_allclose(ap_k(preds_bad, actual), [0.0])
+
+
+def test_ap_k_order_sensitivity():
+    actual = sp.csr_matrix(np.array([[1.0, 0, 0, 0]]))
+    first = ap_k(np.array([[0, 1, 2, 3]]), actual)
+    # k_eff = min(k, n_actual) = 1, so only the first slot matters
+    assert first[0] == 1.0
+    late = ap_k(np.array([[1, 0, 2, 3]]), actual)
+    assert late[0] == 0.0
+
+
+def test_ndcg_k():
+    actual = sp.csr_matrix(np.array([[0, 3.0, 0, 1.0]]))
+    perfect = ndcg_k(np.array([[1, 3]]), actual)
+    np.testing.assert_allclose(perfect, [1.0])
+    # reversed order: dcg = 1/log2(2) + 3/log2(3); idcg = 3/log2(2)+1/log2(3)
+    rev = ndcg_k(np.array([[3, 1]]), actual)
+    expect = (1.0 + 3 / np.log2(3)) / (3.0 + 1 / np.log2(3))
+    np.testing.assert_allclose(rev, [expect])
+    # no relevant items -> 0
+    empty = sp.csr_matrix((1, 4))
+    np.testing.assert_allclose(ndcg_k(np.array([[0, 1]]), empty), [0.0])

@@ -1,0 +1,204 @@
+"""WRMF: hyperparameter grid, invariants, dense-oracle parity, quality.
+
+Mirrors the reference suite's property style (tests/testthat/test-wrmf.R):
+shape/ID preservation, the fit_transform == transform invariant, NNLS
+non-negativity — plus what the reference lacks: numeric parity of a sweep
+against a dense numpy oracle and a ranking-quality gate on ML-100k.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.sparse as sp
+
+from rsparse_tpu import WRMF, ap_k, ndcg_k, train_test_split
+from rsparse_tpu.ops.als import ALSConfig, CHOLESKY, wrmf_sweep
+from rsparse_tpu.sparse.device import bucket_rows
+
+GRID = [
+    # (solver, feedback, lambda, bias, precision)
+    ("cholesky", "implicit", 0.0, False, "double"),
+    ("cholesky", "implicit", 0.1, True, "double"),
+    ("cholesky", "implicit", 1000.0, False, "float"),
+    ("nnls", "implicit", 0.1, False, "double"),
+    ("nnls", "implicit", 0.1, True, "double"),
+    ("conjugate_gradient", "implicit", 0.0, False, "double"),
+    ("conjugate_gradient", "implicit", 0.1, False, "float"),
+    ("conjugate_gradient", "implicit", 1000.0, False, "double"),
+    ("cholesky", "explicit", 0.1, False, "double"),
+    ("cholesky", "explicit", 0.1, True, "double"),
+    ("cholesky", "explicit", 1000.0, True, "float"),
+    ("conjugate_gradient", "explicit", 0.1, False, "double"),
+    ("conjugate_gradient", "explicit", 0.1, True, "double"),
+    ("nnls", "explicit", 0.1, False, "double"),
+]
+
+
+@pytest.mark.parametrize("solver,feedback,lam,bias,precision", GRID)
+def test_wrmf_grid(ml100k_split, solver, feedback, lam, bias, precision):
+    train, cv = ml100k_split
+    rank, K = 6, 5
+    model = WRMF(rank=rank, lambda_=lam, feedback=feedback, solver=solver,
+                 with_user_item_bias=bias, precision=precision, seed=0)
+    emb = model.fit_transform(train, n_iter=2, convergence_tol=-1)
+    rank_b = rank + (2 if bias else 0)
+
+    assert emb.shape == (train.shape[0], rank_b)
+    assert model.components.shape == (rank_b, train.shape[1])
+    assert model.item_ids == train.col_names
+
+    # fit_transform == transform (reference test-wrmf.R:56-57)
+    emb2 = model.transform(train)
+    np.testing.assert_allclose(np.asarray(emb, np.float64),
+                               np.asarray(emb2, np.float64),
+                               rtol=5e-5, atol=1e-7)
+
+    preds = model.predict(cv, k=K)
+    assert preds.shape == (cv.shape[0], K)
+    assert preds.ids is not None and preds.ids.shape == (cv.shape[0], K)
+    assert preds.user_ids == cv.row_names
+
+    cv_emb = model.transform(cv)
+    assert cv_emb.shape == (cv.shape[0], rank_b)
+    if solver == "nnls":
+        assert np.asarray(cv_emb).min() >= 0
+        assert model.components.min() >= 0
+
+    # finite everything
+    assert np.isfinite(np.asarray(emb, np.float64)).all()
+    assert np.isfinite(model.components).all()
+
+
+def test_wrmf_float_dtype(ml100k_split):
+    train, _ = ml100k_split
+    for precision, expected in [("float", jnp.float32),
+                                ("bfloat16", jnp.bfloat16)]:
+        model = WRMF(rank=4, lambda_=1.0, feedback="implicit",
+                     solver="conjugate_gradient", precision=precision, seed=0)
+        emb = model.fit_transform(train, n_iter=2, convergence_tol=-1)
+        assert emb.dtype == expected
+
+
+def test_wrmf_global_bias(ml100k_split):
+    train, cv = ml100k_split
+    for feedback in ("implicit", "explicit"):
+        model = WRMF(rank=4, lambda_=0.1, feedback=feedback,
+                     solver="cholesky", with_global_bias=True,
+                     precision="double", seed=0)
+        emb = model.fit_transform(train, n_iter=2, convergence_tol=-1)
+        assert model.global_bias != 0.0
+        emb2 = model.transform(train)
+        np.testing.assert_allclose(np.asarray(emb), np.asarray(emb2),
+                                   rtol=1e-6, atol=1e-9)
+
+
+def test_wrmf_sweep_matches_dense_oracle():
+    """One implicit Cholesky item-sweep vs. a dense numpy solve of the same
+    normal equations (the math of inst/include/wrmf_implicit.hpp:206-237)."""
+    rng = np.random.default_rng(0)
+    n_u, n_i, r = 50, 30, 6
+    lam = 0.3
+    conf = sp.random(n_u, n_i, density=0.3,
+                     random_state=np.random.RandomState(1), format="csr")
+    conf.data = 1.0 + 4.0 * conf.data  # confidences >= 1
+    U = rng.standard_normal((n_u, r)) * 0.1
+
+    cfg = ALSConfig(feedback="implicit", solver=CHOLESKY)
+    iu = bucket_rows(conf.T.tocsr(), jnp.float64)
+    V_new, _ = wrmf_sweep(jnp.asarray(U), jnp.zeros((n_i, r)), iu.buckets,
+                          None, lam, 0.0, cfg)
+    V_new = np.asarray(V_new)
+
+    XtX = U.T @ U + lam * np.eye(r)
+    csc = conf.tocsc()
+    for i in range(n_i):
+        p1, p2 = csc.indptr[i], csc.indptr[i + 1]
+        idx, c = csc.indices[p1:p2], csc.data[p1:p2]
+        if len(idx) == 0:
+            np.testing.assert_allclose(V_new[i], 0.0)
+            continue
+        Un = U[idx]
+        lhs = XtX + Un.T @ ((c - 1.0)[:, None] * Un)
+        rhs = Un.T @ c
+        np.testing.assert_allclose(V_new[i], np.linalg.solve(lhs, rhs),
+                                   rtol=1e-6, atol=1e-9)
+
+
+def test_wrmf_explicit_sweep_matches_dense_oracle():
+    """Explicit dynamic-lambda sweep vs dense oracle
+    (inst/include/wrmf_explicit.hpp:78,103-108)."""
+    rng = np.random.default_rng(2)
+    n_u, n_i, r = 40, 25, 5
+    lam = 0.2
+    x = sp.random(n_u, n_i, density=0.25,
+                  random_state=np.random.RandomState(3), format="csr")
+    x.data = 1.0 + 4.0 * rng.random(x.nnz)
+    U = rng.standard_normal((n_u, r)) * 0.1
+
+    cfg = ALSConfig(feedback="explicit", solver=CHOLESKY, dynamic_lambda=True)
+    iu = bucket_rows(x.T.tocsr(), jnp.float64)
+    cnt_u = jnp.asarray(np.diff(x.indptr), jnp.float64)
+    V_new, _ = wrmf_sweep(jnp.asarray(U), jnp.zeros((n_i, r)), iu.buckets,
+                          cnt_u, lam, 0.0, cfg)
+    V_new = np.asarray(V_new)
+
+    csc = x.tocsc()
+    for i in range(n_i):
+        p1, p2 = csc.indptr[i], csc.indptr[i + 1]
+        idx, vals = csc.indices[p1:p2], csc.data[p1:p2]
+        if len(idx) == 0:
+            np.testing.assert_allclose(V_new[i], 0.0)
+            continue
+        Un = U[idx]
+        lam_use = lam * len(idx)
+        lhs = Un.T @ Un + lam_use * np.eye(r)
+        rhs = Un.T @ vals
+        np.testing.assert_allclose(V_new[i], np.linalg.solve(lhs, rhs),
+                                   rtol=1e-6, atol=1e-9)
+
+
+def test_wrmf_quality_ml100k(ml100k):
+    """Ranking-quality gate: implicit CG rank-10 must beat random by a wide
+    margin on held-out interactions (driver benchmark config #1)."""
+    rng = np.random.default_rng(7)
+    full = sp.csr_matrix(ml100k)
+    train_users = full[:800]
+    cv_users = full[800:]
+    cv_train, cv_test = train_test_split(cv_users, 0.5, rng)
+
+    model = WRMF(rank=10, lambda_=1.0, feedback="implicit",
+                 solver="conjugate_gradient", seed=0)
+    model.fit_transform(train_users, n_iter=10)
+    preds = model.predict(cv_train, k=10, not_recommend=cv_train)
+    ndcg = np.nanmean(ndcg_k(preds.indices, cv_test))
+    apk = np.nanmean(ap_k(preds.indices, cv_test))
+    assert ndcg > 0.1, f"NDCG@10 too low: {ndcg}"
+    assert apk > 0.05, f"AP@10 too low: {apk}"
+
+
+def test_wrmf_empty_rows(ml100k_split):
+    """All-zero and duplicate rows must not break fitting/transform
+    (the reference appends such rows in its suite, tests/testthat.R)."""
+    train, _ = ml100k_split
+    train2 = sp.vstack([train, sp.csr_matrix((2, train.shape[1])),
+                        train[:1]]).tocsr()
+    model = WRMF(rank=4, lambda_=0.1, feedback="implicit", solver="cholesky",
+                 precision="double", seed=0)
+    emb = model.fit_transform(train2, n_iter=2, convergence_tol=-1)
+    emb = np.asarray(emb)
+    assert np.isfinite(emb).all()
+    # empty users get zero embeddings
+    np.testing.assert_allclose(emb[train.shape[0]:train.shape[0] + 2], 0.0)
+    # duplicate user row solves to the same embedding as the original
+    np.testing.assert_allclose(emb[-1], emb[0], rtol=1e-6, atol=1e-9)
+
+
+def test_wrmf_warm_start_init(ml100k_split):
+    train, _ = ml100k_split
+    m1 = WRMF(rank=4, lambda_=0.1, feedback="implicit", solver="cholesky",
+              precision="double", seed=0)
+    m1.fit_transform(train, n_iter=2, convergence_tol=-1)
+    m2 = WRMF(rank=4, lambda_=0.1, feedback="implicit", solver="cholesky",
+              precision="double", init=m1.components, seed=0)
+    m2.fit_transform(train, n_iter=1, convergence_tol=-1)
+    assert m2.loss_history[-1] <= m1.loss_history[0]
