@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Benchmark driver: WRMF-implicit user-update throughput at rank 128.
+
+Prints ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.md): WRMF user-updates/s per chip at rank 128 on an
+ML-20M-shaped implicit problem (log-normal row lengths, zipf item
+popularity), conjugate-gradient solver with bfloat16 gather/compute and
+float32 accumulation (equal loss to the f32 path within 1e-5 relative).
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
+baseline is the same CG-ALS math executed on the host CPU via XLA-CPU,
+measured here and linearly scaled to the 16 threads named by the driver
+target (this container exposes fewer cores).  XLA-CPU vectorizes at least as
+well as the reference's Armadillo/OpenMP loops, so this is a *conservative*
+(strong) baseline.  Details go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import scipy.sparse as sp
+
+RANK = 128
+N_USERS = 65_536
+N_ITEMS = 32_768
+MEAN_NNZ = 144          # ML-20M-ish interactions per user
+LAM = 0.1
+REPS = 5
+BASELINE_THREADS = 16
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def synth_ml20m_like(n_users=N_USERS, n_items=N_ITEMS, mean_nnz=MEAN_NNZ,
+                     seed=0):
+    """Implicit interaction matrix with log-normal row lengths and
+    popularity-skewed item choice (ML-20M-like shape)."""
+    rng = np.random.default_rng(seed)
+    row_nnz = np.clip(rng.lognormal(np.log(mean_nnz * 0.6), 0.9,
+                                    n_users).astype(np.int64), 4, 4096)
+    total = int(row_nnz.sum())
+    pop = 1.0 / (np.arange(n_items) + 10.0)
+    pop /= pop.sum()
+    cols = rng.choice(n_items, size=total, p=pop)
+    rows = np.repeat(np.arange(n_users), row_nnz)
+    vals = 1.0 + rng.exponential(3.0, size=total)
+    m = sp.csr_matrix((vals, (rows, cols)), shape=(n_users, n_items))
+    m.sum_duplicates()
+    return m
+
+
+def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
+                  solver="conjugate_gradient"):
+    """Min over ``reps`` fully-blocked warm user-sweeps -> user-updates/s."""
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+    from rsparse_tpu.ops.als import (ALSConfig, solver_code,
+                                     wrmf_sweep_streamed)
+    from rsparse_tpu.sparse.device import bucket_rows
+
+    n_users, n_items = csr.shape
+    t0 = time.time()
+    ui = bucket_rows(csr, jnp.float32, max_buckets=10, max_elems=1 << 21)
+    padded = sum(B * L for B, L in ui.shapes)
+    log(f"bucket build: {time.time()-t0:.1f}s {len(ui.shapes)} buckets, "
+        f"padding waste {padded/max(csr.nnz,1):.2f}x")
+    rng = np.random.default_rng(0)
+    U = jnp.asarray(rng.standard_normal((n_users, rank)) * 0.01, jnp.float32)
+    V = jnp.asarray(rng.standard_normal((n_items, rank)) * 0.01, jnp.float32)
+    cfg = ALSConfig(feedback="implicit", solver=solver_code(solver),
+                    compute_dtype=compute_dtype)
+
+    t0 = time.time()
+    U2, loss = wrmf_sweep_streamed(V, U, ui.buckets, None, LAM, 0.0, cfg)
+    U2.block_until_ready()
+    log(f"first call (compile): {time.time()-t0:.1f}s loss={float(loss):.1f}")
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        U2, loss = wrmf_sweep_streamed(V, U2, ui.buckets, None, LAM, 0.0, cfg)
+        U2.block_until_ready()
+        times.append(time.time() - t0)
+    dt = min(times)
+    ups = n_users / dt
+    log(f"warm sweep ({solver}/{compute_dtype}): {dt*1e3:.1f} ms -> "
+        f"{ups:,.0f} user-updates/s ({csr.nnz} nnz)")
+    return ups
+
+
+def measure_topk(csr, rank):
+    from rsparse_tpu.ops.topk import top_product
+    rng = np.random.default_rng(0)
+    n_users, n_items = csr.shape
+    x = rng.standard_normal((n_users, rank)).astype(np.float32)
+    y = rng.standard_normal((rank, n_items)).astype(np.float32)
+    top_product(x, y, 10, not_recommend=csr, user_chunk=4096)  # warm
+    t0 = time.time()
+    top_product(x, y, 10, not_recommend=csr, user_chunk=4096)
+    dt = time.time() - t0
+    log(f"top-k: {dt:.2f}s -> {n_users*n_items/dt/1e9:.2f} G item-scores/s "
+        f"({n_users/dt:,.0f} users/s)")
+
+
+def cpu_baseline_subprocess():
+    """Measure CPU user-updates/s in a fresh process (jax.config platform
+    switch — env vars are overridden by the image's sitecustomize)."""
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import bench\n"
+        "csr = bench.synth_ml20m_like(n_users=16384, n_items=bench.N_ITEMS)\n"
+        "ups = bench.measure_sweep(csr, bench.RANK, 2, "
+        "compute_dtype='float32')\n"
+        "print('CPU_UPS', ups)\n" % os.path.dirname(os.path.abspath(__file__))
+    )
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=1800)
+        for line in out.stdout.splitlines():
+            if line.startswith("CPU_UPS"):
+                return float(line.split()[1])
+        log("cpu baseline failed:", out.stderr[-2000:])
+    except Exception as e:  # noqa: BLE001
+        log("cpu baseline error:", e)
+    return None
+
+
+def main():
+    quick = "--quick" in sys.argv
+    csr = synth_ml20m_like(8192 if quick else N_USERS,
+                           4096 if quick else N_ITEMS)
+    log(f"problem: {csr.shape} nnz={csr.nnz}")
+    ups = measure_sweep(csr, RANK, 2 if quick else REPS)
+    try:
+        measure_topk(sp.csr_matrix(csr[:8192]), RANK)
+    except Exception as e:  # noqa: BLE001
+        log("topk bench failed:", e)
+
+    vs = float("nan")
+    if not quick:
+        cpu_ups = cpu_baseline_subprocess()
+        if cpu_ups:
+            ncpu = os.cpu_count() or 1
+            cpu16 = cpu_ups * BASELINE_THREADS / min(ncpu, BASELINE_THREADS)
+            vs = ups / cpu16
+            log(f"cpu baseline: {cpu_ups:,.0f} updates/s on {ncpu} cores "
+                f"-> {cpu16:,.0f} @ {BASELINE_THREADS}-thread equivalent "
+                f"-> speedup {vs:.1f}x")
+
+    print(json.dumps({
+        "metric": "wrmf_implicit_user_updates_per_s_chip_rank128",
+        "value": round(ups),
+        "unit": "updates/s",
+        "vs_baseline": None if vs != vs else round(vs, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -12,7 +12,11 @@ __version__ = "0.1.0"
 from .config import logger, resolve_dtype  # noqa: F401
 from .data.movielens import load_movielens100k  # noqa: F401
 from .models.base import MatrixFactorizationRecommender, TopK  # noqa: F401
+from .models.fm import FactorizationMachine  # noqa: F401
+from .models.ftrl import FTRL  # noqa: F401
+from .models.glove import GloVe  # noqa: F401
 from .models.linear_flow import LinearFlow  # noqa: F401
+from .models.rankmf import RankMF  # noqa: F401
 from .models.pure_svd import PureSVD  # noqa: F401
 from .models.scale_normalize import ScaleNormalize  # noqa: F401
 from .models.soft_als import (SVDResult, soft_als, soft_impute,  # noqa: F401

@@ -1,0 +1,188 @@
+"""Second-order Factorization Machine on TPU.
+
+Re-design of the reference FM (R/model_FactorizationMachine.R:22-182 over
+src/factorization_machine.cpp:8-194).  The reference is hogwild per-row
+AdaGrad SGD; here rows are bucketed into padded (B, L) blocks and each block
+is a deterministic jitted update using accumulator-first AdaGrad scatter-adds
+(see glove.py for the rationale).
+
+Per-sample math matches the reference:
+  pred = w0 + sum w_j x_j + 0.5 * sum_f [(sum v_fj x_j)^2 - sum (v_fj x_j)^2]
+                                       (factored O(k*nnz) trick, :93-109)
+  binomial (y in +-1): dL = (sigmoid(pred*y) - 1) * y       (:138-139)
+  gaussian:            dL = 2 * (pred - y)                  (:140-141)
+  grad_w_j = clip(x_j dL + 2 lambda_w);  AdaGrad, acc init 1
+  grad_v_j = clip(dL x_j (s1 - v_j x_j) + 2 lambda_v v_j);  AdaGrad
+Gradients are clipped at +-100 (CLIP_VALUE, src/rsparse.h:19).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..config import resolve_dtype
+from ..sparse.device import bucket_rows
+
+CLIP_VALUE = 100.0
+
+
+@partial(jax.jit, static_argnames=("family", "intercept", "do_update"),
+         donate_argnums=(0, 1, 2, 3, 4, 5))
+def _fm_block(w0, acc_w0, w, v, acc_w, acc_v, col_idx, values, mask, y,
+              sample_w, lr_w, lr_v, lam_w, lam_v, family: int,
+              intercept: bool, do_update: bool):
+    """One padded row-block of FM predict (+optional update).
+
+    w: (F+1,), v: (F+1, r) with a padding slot at index F.
+    """
+    x = jnp.where(mask, values, 0.0)                    # (B, L)
+    wg = w[col_idx]                                     # (B, L)
+    vg = v[col_idx]                                     # (B, L, r)
+    vx = vg * x[..., None]                              # (B, L, r)
+    s1 = jnp.sum(vx, axis=1)                            # (B, r)
+    s2 = jnp.sum(vx * vx, axis=1)
+    raw = (w0 + jnp.sum(wg * x, axis=1)
+           + 0.5 * jnp.sum(s1 * s1 - s2, axis=1))       # (B,)
+    y_hat = jax.nn.sigmoid(raw) if family == 1 else raw
+
+    if not do_update:
+        return w0, acc_w0, w, v, acc_w, acc_v, y_hat
+
+    if family == 1:
+        dL = (jax.nn.sigmoid(raw * y) - 1.0) * y
+    else:
+        dL = 2.0 * (raw - y)
+    dL = dL * sample_w                                  # (B,)
+
+    if intercept:
+        # the reference updates w0 per sample without AdaGrad
+        # (src/factorization_machine.cpp:147-149); summed batch steps need
+        # an accumulator to stay stable
+        acc_w0 = acc_w0 + jnp.sum(dL * dL)
+        w0 = w0 - lr_w * jnp.sum(dL) / jnp.sqrt(acc_w0)
+
+    g_w = jnp.clip(x * dL[:, None] + 2.0 * lam_w, -CLIP_VALUE, CLIP_VALUE)
+    g_w = jnp.where(mask, g_w, 0.0)
+    acc_w = acc_w.at[col_idx].add(g_w * g_w)
+    w = w.at[col_idx].add(-lr_w * g_w / jnp.sqrt(acc_w[col_idx]))
+
+    # grad_v_j = dL * x_j * (s1 - v_j x_j) + 2 lambda_v v_j
+    g_v = (dL[:, None, None] * x[..., None] * (s1[:, None, :] - vx)
+           + 2.0 * lam_v * vg)
+    g_v = jnp.clip(g_v, -CLIP_VALUE, CLIP_VALUE)
+    g_v = jnp.where(mask[..., None], g_v, 0.0)
+    acc_v = acc_v.at[col_idx].add(g_v * g_v)
+    v = v.at[col_idx].add(-lr_v * g_v / jnp.sqrt(acc_v[col_idx]))
+
+    return w0, acc_w0, w, v, acc_w, acc_v, y_hat
+
+
+class FactorizationMachine:
+    """2nd-order FM, binomial or gaussian."""
+
+    def __init__(
+        self,
+        learning_rate_w: float = 0.2,
+        rank: int = 4,
+        lambda_w: float = 0.0,
+        lambda_v: float = 0.0,
+        family: str = "binomial",
+        intercept: bool = True,
+        learning_rate_v: Optional[float] = None,
+        precision: str = "float32",
+        seed: Optional[int] = None,
+    ):
+        if family not in ("binomial", "gaussian"):
+            raise ValueError("family must be 'binomial' or 'gaussian'")
+        if not (lambda_w >= 0 and lambda_v >= 0 and learning_rate_w > 0
+                and rank >= 1):
+            raise ValueError("invalid hyperparameters")
+        self.learning_rate_w = float(learning_rate_w)
+        self.learning_rate_v = float(learning_rate_v
+                                     if learning_rate_v is not None
+                                     else learning_rate_w)
+        self.rank = int(rank)
+        self.lambda_w = float(lambda_w)
+        self.lambda_v = float(lambda_v)
+        self.family = family
+        self.family_code = 1 if family == "binomial" else 2
+        self.intercept = bool(intercept)
+        self.dtype = resolve_dtype(precision)
+        self._rng = np.random.default_rng(seed)
+        self.n_features: Optional[int] = None
+
+    def _ensure_state(self, n_features: int):
+        if self.n_features is None:
+            self.n_features = n_features
+            # v init N(0, 0.001) like fill_float_matrix_randn
+            # (src/factorization_machine.cpp:219-223)
+            self.w0 = jnp.zeros((), self.dtype)
+            self.acc_w0 = jnp.ones((), self.dtype)
+            self.w = jnp.zeros((n_features + 1,), self.dtype)
+            self.v = jnp.asarray(
+                self._rng.standard_normal((n_features + 1, self.rank))
+                * 0.001, self.dtype)
+            self.acc_w = jnp.ones((n_features + 1,), self.dtype)
+            self.acc_v = jnp.ones((n_features + 1, self.rank), self.dtype)
+        elif n_features != self.n_features:
+            raise ValueError("feature count mismatch with fitted model")
+
+    def _run(self, x, y=None, weights=None, do_update=False):
+        csr = sp.csr_matrix(x)
+        if np.isnan(csr.data).any():
+            raise ValueError("NA's in input matrix are not allowed")
+        self._ensure_state(csr.shape[1])
+        n_rows = csr.shape[0]
+        if do_update:
+            y = np.asarray(y, np.float64)
+            if np.isnan(y).any():
+                raise ValueError("NA's in y are not allowed")
+            if len(y) != n_rows:
+                raise ValueError("nrow(x) must equal length(y)")
+            if self.family == "binomial":
+                # convert {0,1} -> {-1,1} (reference
+                # R/model_FactorizationMachine.R:99-101)
+                y = np.where(y == 1, 1.0, -1.0)
+        else:
+            y = np.zeros(n_rows)
+        weights = (np.ones(n_rows) if weights is None
+                   else np.asarray(weights, np.float64))
+
+        br = bucket_rows(csr, self.dtype, include_empty=True,
+                         max_elems=1 << 20)
+        yd = jnp.asarray(y, self.dtype)
+        wd = jnp.asarray(weights, self.dtype)
+        y_hat = np.empty(n_rows, np.float64)
+        for b in br.buckets:
+            rid = jnp.minimum(b.row_ids, n_rows - 1)
+            (self.w0, self.acc_w0, self.w, self.v, self.acc_w, self.acc_v,
+             yh) = _fm_block(
+                self.w0, self.acc_w0, self.w, self.v, self.acc_w, self.acc_v,
+                b.col_idx, b.values, b.mask(), yd[rid], wd[rid],
+                self.learning_rate_w, self.learning_rate_v,
+                self.lambda_w, self.lambda_v,
+                family=self.family_code, intercept=self.intercept,
+                do_update=do_update)
+            rows = np.asarray(b.row_ids)
+            keep = rows < n_rows
+            y_hat[rows[keep]] = np.asarray(yh, np.float64)[keep]
+        return y_hat
+
+    def partial_fit(self, x, y, weights=None) -> np.ndarray:
+        return self._run(x, y, weights, do_update=True)
+
+    def fit(self, x, y, weights=None, n_iter: int = 1) -> np.ndarray:
+        for _ in range(n_iter):
+            out = self.partial_fit(x, y, weights)
+        return out
+
+    def predict(self, x) -> np.ndarray:
+        if self.n_features is None:
+            raise RuntimeError("model is not fitted")
+        return self._run(x, do_update=False)

@@ -1,0 +1,214 @@
+"""FTRL-proximal elastic-net generalized linear model on TPU.
+
+Re-design of the reference FTRL (R/model_FTRL.R:25-207 over
+src/FTRL.cpp:18-169, McMahan et al.).  The reference is hogwild per-row SGD
+mutating shared (z, n) state in place; here rows are bucketed into padded
+(B, L) blocks and each block is one deterministic jitted update: lazy
+weights from the (z, n) snapshot, link + gradient, then segment scatter-add
+into z and n (duplicate features across a block accumulate).
+
+Per-element math matches src/FTRL.cpp exactly:
+  w_j = -(z_j - sign(z_j) l1) / ((decay + sqrt(n_j))/lr + l2)  if |z_j| > l1
+  grad = sample_weight * (y_hat - y) * x, clipped at +-1000       (:146-158)
+  sigma = (sqrt(n + g^2) - sqrt(n)) / lr;  z += g - sigma*w;  n += g^2
+Input dropout keeps features with prob (1-dropout) and rescales by
+1/(1-dropout) (:133-143).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..config import logger, resolve_dtype
+from ..sparse.device import bucket_rows
+
+_FAMILY_CODES = {"binomial": 1, "gaussian": 2, "poisson": 3}
+CLIP_GRAD = 1000.0
+
+
+def _link(x, family: int):
+    if family == 1:
+        return jax.nn.sigmoid(x)
+    if family == 2:
+        return x
+    return jnp.exp(x)
+
+
+def _lazy_weights(z, n, lr, decay, l1, l2):
+    """w_ftprl (reference src/FTRL.cpp:78-92)."""
+    active = jnp.abs(z) > l1
+    denom = (decay + jnp.sqrt(n)) / lr + l2
+    w = -(z - jnp.sign(z) * l1) / denom
+    return jnp.where(active, w, 0.0)
+
+
+@partial(jax.jit, static_argnames=("family", "do_update"),
+         donate_argnums=(0, 1))
+def _ftrl_block(z, n, col_idx, values, mask, y, sample_w, dropout_key,
+                lr, decay, l1, l2, dropout, family: int, do_update: bool):
+    """One padded row-block update (or pure prediction)."""
+    vals = jnp.where(mask, values, 0.0)
+    if do_update:
+        keep = jax.random.uniform(dropout_key, vals.shape) > dropout
+        scale = 1.0 / (1.0 - dropout)
+        vals = jnp.where(keep, vals * scale, 0.0)
+        mask = mask & keep
+
+    zg = z[col_idx]
+    ng = n[col_idx]
+    w = jnp.where(mask, _lazy_weights(zg, ng, lr, decay, l1, l2), 0.0)
+    y_hat = _link(jnp.sum(w * vals, axis=1), family)
+
+    if not do_update:
+        return z, n, y_hat
+
+    d = sample_w * (y_hat - y)
+    g = jnp.clip(d[:, None] * vals, -CLIP_GRAD, CLIP_GRAD)
+    g = jnp.where(mask, g, 0.0)
+    g2 = g * g
+    sigma = (jnp.sqrt(ng + g2) - jnp.sqrt(ng)) / lr
+    z = z.at[col_idx].add(jnp.where(mask, g - sigma * w, 0.0))
+    n = n.at[col_idx].add(g2)
+    return z, n, y_hat
+
+
+class FTRL:
+    """'Follow the Regularized Leader' proximal GLM (binomial default)."""
+
+    def __init__(
+        self,
+        learning_rate: float = 0.1,
+        learning_rate_decay: float = 0.5,
+        lambda_: float = 0.0,
+        l1_ratio: float = 1.0,
+        dropout: float = 0.0,
+        family: str = "binomial",
+        precision: str = "float32",
+        seed: Optional[int] = None,
+    ):
+        if not abs(dropout) < 1:
+            raise ValueError("dropout must be in [0, 1)")
+        if not 0 <= l1_ratio <= 1:
+            raise ValueError("l1_ratio must be in [0, 1]")
+        if lambda_ < 0 or learning_rate <= 0 or learning_rate_decay <= 0:
+            raise ValueError("invalid learning-rate/lambda parameters")
+        if family not in _FAMILY_CODES:
+            raise ValueError(f"unknown family {family!r}")
+        self.learning_rate = float(learning_rate)
+        self.learning_rate_decay = float(learning_rate_decay)
+        self.lambda_ = float(lambda_)
+        self.l1_ratio = float(l1_ratio)
+        self.dropout = float(dropout)
+        self.family = family
+        self.family_code = _FAMILY_CODES[family]
+        self.dtype = resolve_dtype(precision)
+        self.n_features: Optional[int] = None
+        self.z = None
+        self.n = None
+        self._key = jax.random.PRNGKey(seed if seed is not None else 0)
+
+    @property
+    def _l1(self):
+        return self.lambda_ * self.l1_ratio
+
+    @property
+    def _l2(self):
+        return self.lambda_ * (1.0 - self.l1_ratio)
+
+    def _ensure_state(self, n_features: int):
+        if self.n_features is None:
+            self.n_features = n_features
+            self.z = jnp.zeros((n_features + 1,), self.dtype)
+            self.n = jnp.zeros((n_features + 1,), self.dtype)
+        elif n_features != self.n_features:
+            raise ValueError(
+                f"feature count mismatch: model has {self.n_features}, "
+                f"input has {n_features}")
+
+    def _run(self, x: sp.spmatrix, y=None, weights=None, do_update=False):
+        csr = sp.csr_matrix(x)
+        if np.isnan(csr.data).any():
+            raise ValueError("NA's in input matrix are not allowed")
+        self._ensure_state(csr.shape[1])
+        n_rows = csr.shape[0]
+        y = np.zeros(n_rows) if y is None else np.asarray(y, np.float64)
+        if do_update and len(y) != n_rows:
+            raise ValueError("nrow(x) must equal length(y)")
+        weights = (np.ones(n_rows) if weights is None
+                   else np.asarray(weights, np.float64))
+
+        br = bucket_rows(csr, self.dtype, include_empty=True,
+                         max_elems=1 << 20)
+        y_hat = np.empty(n_rows, np.float64)
+        yd = jnp.asarray(y, self.dtype)
+        wd = jnp.asarray(weights, self.dtype)
+        for b in br.buckets:
+            self._key, sub = jax.random.split(self._key)
+            rid = jnp.minimum(b.row_ids, n_rows - 1)
+            self.z, self.n, yh = _ftrl_block(
+                self.z, self.n, b.col_idx, b.values, b.mask(),
+                yd[rid], wd[rid], sub,
+                self.learning_rate, self.learning_rate_decay,
+                self._l1, self._l2, self.dropout,
+                family=self.family_code, do_update=do_update)
+            rows = np.asarray(b.row_ids)
+            keep = rows < n_rows
+            y_hat[rows[keep]] = np.asarray(yh, np.float64)[keep]
+        return y_hat
+
+    def partial_fit(self, x: sp.spmatrix, y, weights=None) -> np.ndarray:
+        """One SGD pass over the samples; returns in-pass predictions."""
+        return self._run(x, y, weights, do_update=True)
+
+    def fit(self, x, y, weights=None, n_iter: int = 1):
+        for i in range(n_iter):
+            logger.debug("FTRL iter %03d", i + 1)
+            out = self.partial_fit(x, y, weights)
+        return out
+
+    def predict(self, x: sp.spmatrix) -> np.ndarray:
+        if self.n_features is None:
+            raise RuntimeError("model is not fitted")
+        return self._run(x, do_update=False)
+
+    def coef(self) -> np.ndarray:
+        """Regression weights from the (z, n) state
+        (reference src/FTRL.cpp:59-75)."""
+        w = _lazy_weights(self.z[:self.n_features], self.n[:self.n_features],
+                          self.learning_rate, self.learning_rate_decay,
+                          self._l1, self._l2)
+        return np.asarray(w, np.float64)
+
+    # -- serialization (reference R/model_FTRL.R:142-158) ------------------
+
+    def dump(self) -> Dict:
+        if self.n_features is None:
+            raise RuntimeError("model is not fitted")
+        return {
+            "kind": "ftrl_model_dump",
+            "learning_rate": self.learning_rate,
+            "learning_rate_decay": self.learning_rate_decay,
+            "lambda": self.lambda_, "l1_ratio": self.l1_ratio,
+            "dropout": self.dropout, "family": self.family,
+            "n_features": self.n_features,
+            "z": np.asarray(self.z).copy(), "n": np.asarray(self.n).copy(),
+        }
+
+    @classmethod
+    def load(cls, d: Dict) -> "FTRL":
+        if d.get("kind") != "ftrl_model_dump":
+            raise ValueError("input should be an ftrl_model_dump dict")
+        m = cls(learning_rate=d["learning_rate"],
+                learning_rate_decay=d["learning_rate_decay"],
+                lambda_=d["lambda"], l1_ratio=d["l1_ratio"],
+                dropout=d["dropout"], family=d["family"])
+        m.n_features = d["n_features"]
+        m.z = jnp.asarray(d["z"])
+        m.n = jnp.asarray(d["n"])
+        return m

@@ -1,0 +1,330 @@
+"""RankMF: pairwise-ranking matrix factorization (BPR / WARP) on TPU.
+
+Re-design of the reference RankMF (R/model_RankMF.R:7-162 over
+src/rankmf.cpp:103-283).  The reference runs hogwild single-sample SGD:
+sample a user, a positive item, then *rejection-sample* negatives one at a
+time until one violates the margin (WARP) or immediately (BPR).  Dynamic
+per-sample loop lengths don't map to XLA, so the TPU-native redesign draws a
+**fixed budget** of ``max_negative_samples`` candidates per sample at once,
+tests membership in the user's positive set with a vectorized binary search
+over the CSR row segment, and selects the *first* acceptable candidate with
+a masked argmax — semantically the same accepted negative (and the same WARP
+rank-weight ``log1p((n_item-1)/(k+1)) / log1p(n_item+1)`` with ``k`` the
+number of candidates tried, src/rankmf.cpp:25-27,227-235).
+
+Side features: user/item embeddings are feature combinations
+``w_u = sum_f W[f] * uf_val`` (identity features = plain MF,
+R/model_RankMF.R:87-88); gradients are scattered to every feature id of the
+touched entities with the reference's per-feature scalar AdaGrad/RMSprop
+accumulator of *mean squared gradient per embedding* (src/rankmf.cpp:86-100).
+Like the reference, feature gradients are not scaled by feature values, and
+weight decay subtracts ``lr * lambda * combined_embedding`` from each feature
+column (:246-279).
+
+Updates are deterministic minibatches (all samples in a batch read
+start-of-batch parameters; duplicates accumulate via scatter-add).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..config import logger, resolve_dtype
+from .base import MatrixFactorizationRecommender, get_names
+
+ADAGRAD, RMSPROP = 0, 1
+BPR, WARP = 0, 1
+IDENTITY, SIGMOID = 0, 1
+EPS = 1e-10
+
+
+class _Feats(NamedTuple):
+    """Padded per-entity feature lists: idx (n, F), val (n, F), mask."""
+
+    idx: jax.Array
+    val: jax.Array
+    mask: jax.Array
+
+
+def _pad_features(feats: sp.csr_matrix, dtype) -> _Feats:
+    csr = sp.csr_matrix(feats)
+    csr.sort_indices()
+    n = csr.shape[0]
+    F = max(int(np.diff(csr.indptr).max()) if csr.nnz else 1, 1)
+    idx = np.zeros((n, F), np.int32)
+    val = np.zeros((n, F), np.float64)
+    nnz = np.diff(csr.indptr)
+    offs = np.arange(F)[None, :]
+    flat = np.minimum(csr.indptr[:-1, None] + offs, max(csr.nnz - 1, 0))
+    mask = offs < nnz[:, None]
+    if csr.nnz:
+        idx = np.where(mask, csr.indices[flat], 0).astype(np.int32)
+        val = np.where(mask, csr.data[flat], 0.0)
+    return _Feats(jnp.asarray(idx), jnp.asarray(val, dtype),
+                  jnp.asarray(mask))
+
+
+def _combine(emb: jax.Array, feats: _Feats, ids: jax.Array) -> jax.Array:
+    """Feature-combined embeddings for entities ``ids``: (..., r)."""
+    fi = feats.idx[ids]              # (..., F)
+    fv = jnp.where(feats.mask[ids], feats.val[ids], 0.0)
+    return jnp.einsum("...f,...fr->...r", fv, emb[fi])
+
+
+def _in_sorted_segment(flat_idx, p1, nnz, queries, n_steps: int):
+    """Vectorized binary search: is queries[s, k] present in the sorted
+    segment flat_idx[p1[s] : p1[s]+nnz[s]]?  (src/rankmf.cpp:36-56)"""
+    S, K = queries.shape
+    lo = jnp.broadcast_to(jnp.zeros_like(nnz)[:, None], (S, K))
+    hi = jnp.broadcast_to(nnz[:, None], (S, K))  # exclusive
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        v = flat_idx[jnp.clip(p1[:, None] + mid, 0, flat_idx.shape[0] - 1)]
+        go_right = v < queries
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, n_steps, body, (lo, hi))
+    v = flat_idx[jnp.clip(p1[:, None] + lo, 0, flat_idx.shape[0] - 1)]
+    return (lo < nnz[:, None]) & (v == queries)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_item", "bs_steps"),
+         donate_argnums=(0, 1, 2, 3))
+def _rankmf_batch(W, H, accW, accH, key, flat_idx, indptr, row_nnz,
+                  uf: _Feats, itf: _Feats, lr, gamma, lam_u, lam_ip, lam_in,
+                  margin, cfg, n_item: int, bs_steps: int):
+    """One minibatch of pairwise updates (cfg = (S, K, loss, kernel,
+    optimizer, update_items))."""
+    S, K, loss_kind, kernel, optimizer, update_items = cfg
+    lr = jnp.asarray(lr, W.dtype)
+    gamma = jnp.asarray(gamma, W.dtype)
+    lam_u = jnp.asarray(lam_u, W.dtype)
+    lam_ip = jnp.asarray(lam_ip, W.dtype)
+    lam_in = jnp.asarray(lam_in, W.dtype)
+    margin = jnp.asarray(margin, W.dtype)
+    n_user = row_nnz.shape[0]
+    k_u, k_p, k_n = jax.random.split(key, 3)
+
+    u = jax.random.randint(k_u, (S,), 0, n_user)
+    nnz_u = row_nnz[u]
+    valid = nnz_u > 0                       # skip users w/o positives
+    p1 = indptr[u]
+    pos_off = jax.random.randint(k_p, (S,), 0, jnp.maximum(nnz_u, 1))
+    i = flat_idx[jnp.clip(p1 + pos_off, 0, flat_idx.shape[0] - 1)]
+
+    w_u = _combine(W, uf, u)                # (S, r)
+    h_i = _combine(H, itf, i)
+
+    j_cand = jax.random.randint(k_n, (S, K), 0, n_item)
+    is_neg = ~_in_sorted_segment(flat_idx, p1, nnz_u, j_cand, bs_steps)
+
+    h_j_all = _combine(H, itf, j_cand)      # (S, K, r)
+    r_ui = jnp.sum(w_u * h_i, axis=1)       # (S,)
+    r_uj = jnp.einsum("sr,skr->sk", w_u, h_j_all)
+    if kernel == SIGMOID:
+        r_ui_k = jax.nn.sigmoid(r_ui)
+        r_uj_k = jax.nn.sigmoid(r_uj)
+        hi_adj = r_ui_k * (1 - r_ui_k)      # (S,)
+        hj_adj_all = r_uj_k * (1 - r_uj_k)  # (S, K)
+        d = r_uj_k - r_ui_k[:, None]
+    else:
+        hi_adj = jnp.ones_like(r_ui)
+        hj_adj_all = jnp.ones_like(r_uj)
+        d = r_uj - r_ui[:, None]
+
+    if loss_kind == BPR:
+        acceptable = is_neg
+    else:
+        acceptable = is_neg & (d + margin >= 0)
+    found = jnp.any(acceptable, axis=1) & valid
+    first_k = jnp.argmax(acceptable, axis=1)          # (S,)
+    sel = lambda a: jnp.take_along_axis(
+        a, first_k[:, None], axis=1)[:, 0]
+    j = sel(j_cand)
+    d_sel = sel(d)
+    hj_adj = sel(hj_adj_all)
+    h_j = jnp.take_along_axis(h_j_all, first_k[:, None, None], axis=1)[:, 0]
+
+    weight = jax.nn.sigmoid(d_sel)
+    if loss_kind == WARP:
+        # rank_loss(x) = log1p(x + 1) (src/rankmf.cpp:25-27)
+        norm = np.log1p(float(n_item) + 1.0)
+        weight = weight * jnp.log1p(
+            (n_item - 1.0) / (first_k + 1.0) + 1.0) / norm
+    weight = jnp.where(found, weight, 0.0)
+
+    # AUC estimator: candidate 0 a true negative ranked below the positive
+    auc_num = jnp.sum((is_neg[:, 0] & (d[:, 0] < 0) & valid))
+    auc_den = jnp.maximum(jnp.sum(valid), 1)
+
+    grad_u = weight[:, None] * (hj_adj[:, None] * h_j
+                                - hi_adj[:, None] * h_i)    # (S, r)
+    grad_ip = -weight[:, None] * hi_adj[:, None] * w_u
+    grad_in = weight[:, None] * hj_adj[:, None] * w_u
+    r = W.shape[1]
+
+    def apply(emb, acc, feats, ids, grad, lam, comb):
+        """Scatter one entity-set's update into feature embeddings."""
+        fi = feats.idx[ids]                            # (S, F)
+        fmask = feats.mask[ids] & (grad != 0).any(1)[:, None]
+        g2 = jnp.sum(grad * grad, axis=1) / r          # (S,) mean sq grad
+        g2f = jnp.where(fmask, g2[:, None], 0.0)
+        if optimizer == ADAGRAD:
+            acc = acc.at[fi].add(g2f)
+            denom = jnp.sqrt(acc[fi] + EPS)            # (S, F)
+        else:  # RMSPROP: acc <- gamma*acc + (1-gamma)*g2 per touched feature
+            old = acc[fi]
+            new = gamma * old + (1 - gamma) * g2[:, None]
+            acc = acc.at[fi].add(jnp.where(fmask, new - old, 0.0))
+            denom = jnp.sqrt(acc[fi] + EPS)
+        step = grad[:, None, :] / denom[..., None] + lam * comb[:, None, :]
+        step = jnp.where(fmask[..., None], step, 0.0)
+        emb = emb.at[fi].add(-lr * step)
+        return emb, acc
+
+    W, accW = apply(W, accW, uf, u, grad_u, lam_u, w_u)
+    if update_items:
+        H, accH = apply(H, accH, itf, i, grad_ip, lam_ip, h_i)
+        H, accH = apply(H, accH, itf, j, grad_in, lam_in, h_j)
+
+    n_tried = jnp.sum(jnp.where(found, first_k + 1, K))
+    return W, H, accW, accH, auc_num, auc_den, jnp.sum(found), n_tried
+
+
+class RankMF(MatrixFactorizationRecommender):
+    """Pairwise-ranking MF with optional user/item side features."""
+
+    def __init__(
+        self,
+        rank: int = 8,
+        learning_rate: float = 0.01,
+        optimizer: str = "adagrad",
+        lambda_: float = 0.0,
+        gamma: float = 0.0,
+        loss: str = "bpr",
+        kernel: str = "identity",
+        margin: float = 0.1,
+        max_negative_samples: int = 50,
+        batch_size: int = 512,
+        precision: str = "float32",
+        seed: Optional[int] = None,
+    ):
+        super().__init__()
+        self.rank = int(rank)
+        self.learning_rate = float(learning_rate)
+        self.optimizer = {"adagrad": ADAGRAD, "rmsprop": RMSPROP}[optimizer]
+        if np.isscalar(lambda_):
+            lambda_ = {"lambda_user": lambda_, "lambda_item_positive": lambda_,
+                       "lambda_item_negative": lambda_}
+        self.lambda_user = float(lambda_["lambda_user"])
+        self.lambda_item_positive = float(lambda_["lambda_item_positive"])
+        self.lambda_item_negative = float(lambda_["lambda_item_negative"])
+        self.gamma = float(gamma)
+        self.loss = {"bpr": BPR, "warp": WARP}[loss]
+        self.kernel = {"identity": IDENTITY, "sigmoid": SIGMOID}[kernel]
+        self.margin = float(margin)
+        self.max_negative_samples = int(max_negative_samples)
+        self.batch_size = int(batch_size)
+        self.dtype = resolve_dtype(precision)
+        self._rng = np.random.default_rng(seed)
+        self._key = jax.random.PRNGKey(seed if seed is not None else 0)
+        self.user_features_embeddings = None   # W (n_user_feat, r)
+        self.item_features_embeddings = None   # H (n_item_feat, r)
+        self._accW = self._accH = None
+        self._item_features = None
+        self.auc_history = []
+
+    def partial_fit_transform(self, x: sp.spmatrix, item_features=None,
+                              user_features=None, n_iter: int = 100,
+                              update_items: bool = True):
+        """Run ``n_iter * n_user`` pairwise updates; returns user embeddings
+        (reference R/model_RankMF.R:86-160)."""
+        csr = sp.csr_matrix(x)
+        csr.sort_indices()
+        n_user, n_item = csr.shape
+        self.item_ids = get_names(x, 1)
+        if item_features is None:
+            item_features = sp.identity(n_item, format="csr")
+        if user_features is None:
+            user_features = sp.identity(n_user, format="csr")
+        item_features = sp.csr_matrix(item_features)
+        user_features = sp.csr_matrix(user_features)
+        if user_features.shape[0] != n_user:
+            raise ValueError("user_features rows must match n_users")
+        if item_features.shape[0] != n_item:
+            raise ValueError("item_features rows must match n_items")
+        self._item_features = item_features
+        self._user_features = user_features
+        nuf, nif = user_features.shape[1], item_features.shape[1]
+
+        if self.user_features_embeddings is None:
+            self.user_features_embeddings = jnp.asarray(
+                self._rng.standard_normal((nuf, self.rank)) * 1e-3,
+                self.dtype)
+            self._accW = jnp.ones((nuf,), self.dtype)
+        if self.item_features_embeddings is None:
+            self.item_features_embeddings = jnp.asarray(
+                self._rng.standard_normal((nif, self.rank)) * 1e-3,
+                self.dtype)
+            self._accH = jnp.ones((nif,), self.dtype)
+
+        uf = _pad_features(user_features, self.dtype)
+        itf = _pad_features(item_features, self.dtype)
+        flat_idx = jnp.asarray(csr.indices, jnp.int32)
+        indptr = jnp.asarray(csr.indptr[:-1], jnp.int32)
+        row_nnz = jnp.asarray(np.diff(csr.indptr), jnp.int32)
+        max_nnz = max(int(np.diff(csr.indptr).max()) if csr.nnz else 1, 1)
+        bs_steps = int(np.ceil(np.log2(max_nnz + 1))) + 1
+
+        S = min(self.batch_size, max(n_user, 8))
+        K = min(self.max_negative_samples, n_item)
+        n_updates = n_iter * n_user
+        n_batches = max(n_updates // S, 1)
+        cfg = (S, K, self.loss, self.kernel, self.optimizer,
+               bool(update_items))
+
+        W, H = self.user_features_embeddings, self.item_features_embeddings
+        accW, accH = self._accW, self._accH
+        auc_n = auc_d = 0
+        for b in range(n_batches):
+            self._key, sub = jax.random.split(self._key)
+            (W, H, accW, accH, an, ad, nf, nt) = _rankmf_batch(
+                W, H, accW, accH, sub, flat_idx, indptr, row_nnz, uf, itf,
+                self.learning_rate, self.gamma, self.lambda_user,
+                self.lambda_item_positive, self.lambda_item_negative,
+                self.margin, cfg, n_item, bs_steps)
+            auc_n += int(an)
+            auc_d += int(ad)
+        self.auc_history.append(auc_n / max(auc_d, 1))
+        logger.info("RankMF: %d updates, AUC~%.3f", n_batches * S,
+                    self.auc_history[-1])
+
+        self.user_features_embeddings = W
+        self.item_features_embeddings = H
+        self._accW, self._accH = accW, accH
+
+        # final embeddings = features x feature-embeddings
+        # (reference R/model_RankMF.R:154-159)
+        item_emb = item_features @ np.asarray(H, np.float64)
+        self.components = np.asarray(item_emb.T)
+        self._components_l2 = None
+        user_emb = user_features @ np.asarray(W, np.float64)
+        return user_emb
+
+    def transform(self, x: sp.spmatrix):
+        """Embed known users (by their trained feature embeddings)."""
+        if self.user_features_embeddings is None:
+            raise RuntimeError("model is not fitted")
+        uf = sp.identity(x.shape[0], format="csr") \
+            if self._user_features is None else self._user_features
+        return uf @ np.asarray(self.user_features_embeddings, np.float64)

@@ -31,12 +31,12 @@ import scipy.sparse as sp
 
 from ..config import logger, resolve_dtype
 from ..ops.als import (ALSConfig, CHOLESKY, CONJUGATE_GRADIENT, NNLS,
-                       solver_code, wrmf_sweep)
+                       solver_code, wrmf_sweep_streamed)
 from ..ops.bias_init import initialize_biases
 from ..sparse.device import BucketedRows, bucket_rows
 from .base import MatrixFactorizationRecommender, get_names
 
-_jit_sweep = partial(jax.jit, static_argnames=("cfg",))(wrmf_sweep)
+
 
 
 class WRMF(MatrixFactorizationRecommender):
@@ -210,11 +210,11 @@ class WRMF(MatrixFactorizationRecommender):
         loss_prev = math.inf
         self.loss_history = []
         for it in range(n_iter):
-            V, loss = _jit_sweep(U, V, iu.buckets, self._cnt_u, lam, g,
+            V, loss = wrmf_sweep_streamed(U, V, iu.buckets, self._cnt_u, lam, g,
                                  cfg_items)
             loss = float(loss) / nnz
             logger.info("iter %d (items) loss = %.4f", it + 1, loss)
-            U, loss = _jit_sweep(V, U, ui.buckets, self._cnt_i, lam, g,
+            U, loss = wrmf_sweep_streamed(V, U, ui.buckets, self._cnt_i, lam, g,
                                  cfg_users)
             loss = float(loss) / nnz
             logger.info("iter %d (users) loss = %.4f", it + 1, loss)
@@ -239,7 +239,7 @@ class WRMF(MatrixFactorizationRecommender):
         cfg = self._cfg(bias_last_in_source=False, solver=solver)
         tgt0 = jnp.zeros((n_users, self._R), dtype=self.dtype)
         g = self.global_bias if self.feedback == "implicit" else 0.0
-        U, _ = _jit_sweep(self._V, tgt0, ui.buckets, self._cnt_i,
+        U, _ = wrmf_sweep_streamed(self._V, tgt0, ui.buckets, self._cnt_i,
                           self.lambda_, g, cfg)
         return U
 

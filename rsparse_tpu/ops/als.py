@@ -31,6 +31,7 @@ the only configuration the reference tests exercise).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -64,6 +65,9 @@ class ALSConfig:
     use_global_bias: bool = False
     dynamic_lambda: bool = False
     nnls_max_iter: int = 10_000
+    #: dtype of the gathered factor blocks fed to the MXU ("bfloat16" halves
+    #: HBM traffic of the hot gathers; accumulation stays float32)
+    compute_dtype: str = "float32"
 
 
 def solver_code(name: str) -> int:
@@ -111,7 +115,9 @@ def _solve_bucket_implicit(
     lhs = XtX + Xg' diag(c-1) Xg,  rhs = Xg' (c - (c-1)(x_bias+g)) + rhs_init.
     """
     mask = bucket.mask()
-    Xg = src_act[bucket.col_idx].astype(sdt)             # (B, L, d)
+    gdt = (jnp.bfloat16 if (cfg.compute_dtype == "bfloat16"
+                            and sdt == jnp.float32) else sdt)
+    Xg = src_act[bucket.col_idx].astype(gdt)             # (B, L, d)
     c = bucket.values.astype(sdt)
     cm = jnp.where(mask, c, 0.0)
     cm1 = jnp.where(mask, c - 1.0, 0.0)
@@ -127,20 +133,20 @@ def _solve_bucket_implicit(
         offs = None
 
     c_eff = cm if offs is None else cm - cm1 * offs
-    rhs = jnp.einsum("bld,bl->bd", Xg, c_eff,
+    rhs = jnp.einsum("bld,bl->bd", Xg, c_eff.astype(gdt),
                      preferred_element_type=sdt)
     if rhs_init is not None:
         rhs = rhs + rhs_init[None, :]
 
     if cfg.solver == CONJUGATE_GRADIENT:
         def matvec(p):
-            t = jnp.einsum("bld,bd->bl", Xg, p,
+            t = jnp.einsum("bld,bd->bl", Xg, p.astype(gdt),
                            preferred_element_type=sdt) * cm1
-            return p @ XtX + jnp.einsum("bl,bld->bd", t, Xg,
+            return p @ XtX + jnp.einsum("bl,bld->bd", t.astype(gdt), Xg,
                                         preferred_element_type=sdt)
         y = batched_cg(matvec, rhs, x_init.astype(sdt), cfg.cg_steps)
     else:
-        Xgw = Xg * cm1[..., None]
+        Xgw = (Xg.astype(sdt) * cm1[..., None]).astype(gdt)
         lhs = XtX[None] + jnp.einsum("bld,ble->bde", Xgw, Xg,
                                      preferred_element_type=sdt)
         if cfg.solver == NNLS:
@@ -151,7 +157,8 @@ def _solve_bucket_implicit(
 
     # Per-entity loss with the NEW target factor (wrmf_implicit.hpp:257-270):
     # sum_nnz c * ((1-g) - y.x - x_bias)^2 + lambda * ||y||^2
-    pred = jnp.einsum("bld,bd->bl", Xg, y, preferred_element_type=sdt)
+    pred = jnp.einsum("bld,bd->bl", Xg, y.astype(gdt),
+                      preferred_element_type=sdt)
     base = 1.0 - pred
     if cfg.use_global_bias:
         base = base - g
@@ -214,6 +221,126 @@ def _solve_bucket_explicit(
     return y, loss
 
 
+def _sweep_prepare(src, lam, g, cfg: ALSConfig, sdt):
+    """XtX Gram (+ridge for implicit) and rhs_init from the source factors."""
+    R = src.shape[1]
+    src_sl, _ = _active_slices(cfg, R)
+    src_act = src[:, src_sl]
+    d = src_act.shape[1]
+    if cfg.with_biases:
+        bias_col = (R - 1) if cfg.bias_last_in_source else 0
+        x_biases = src[:, bias_col]
+    else:
+        x_biases = None
+
+    XtX = jnp.einsum("nd,ne->de", src_act.astype(sdt), src_act.astype(sdt),
+                     preferred_element_type=sdt)
+    if cfg.feedback == "implicit":
+        XtX = XtX + lam * jnp.eye(d, dtype=sdt)
+
+    rhs_init = None
+    if cfg.feedback == "implicit":
+        if cfg.with_biases:
+            rhs_init = -jnp.einsum(
+                "nd,n->d", src_act.astype(sdt), x_biases.astype(sdt) + g,
+                preferred_element_type=sdt)
+        elif cfg.use_global_bias:
+            rhs_init = -g * jnp.sum(src_act.astype(sdt), axis=0)
+    return src_act, x_biases, XtX, rhs_init
+
+
+def _solve_one_bucket(src_act, x_biases, XtX, rhs_init, bucket, x_init,
+                      lam, g, cfg: ALSConfig, sdt):
+    if cfg.feedback == "implicit":
+        return _solve_bucket_implicit(
+            src_act, x_biases, XtX, rhs_init, bucket, x_init, lam, g, cfg,
+            sdt)
+    return _solve_bucket_explicit(src_act, x_biases, bucket, x_init, lam,
+                                  cfg, sdt)
+
+
+def _src_reg_loss(src, src_cnt, lam, cfg: ALSConfig, sdt):
+    """Final lambda * ||learned source params||^2 term
+    (wrmf_implicit.hpp:286-303, wrmf_explicit.hpp:147-172)."""
+    R = src.shape[1]
+    if cfg.with_biases:
+        excl_sl = slice(1, R) if cfg.bias_last_in_source else slice(0, R - 1)
+        X_excl = src[:, excl_sl].astype(sdt)
+    else:
+        X_excl = src.astype(sdt)
+    if cfg.feedback == "explicit" and cfg.dynamic_lambda:
+        return lam * jnp.einsum("nd,n->", X_excl * X_excl,
+                                src_cnt.astype(sdt))
+    return lam * jnp.sum(X_excl * X_excl)
+
+
+def _assemble_target(result_act, n_tgt, cfg: ALSConfig, dtype):
+    if not cfg.with_biases:
+        return result_act
+    ones = jnp.ones((n_tgt, 1), dtype=dtype)
+    if cfg.bias_last_in_source:   # target ones col is last
+        return jnp.concatenate([result_act, ones], axis=1)
+    return jnp.concatenate([ones, result_act], axis=1)
+
+
+def _solve_scatter(result_act, src_act, x_biases, XtX, rhs_init,
+                   bucket, old_act, lam, g, n_tgt: int, cfg: ALSConfig):
+    """One bucket: gather warm start, solve, scatter into the result.
+    Small per-shape program — compiles once per (B, L) shape and is reused
+    by every same-shape chunk (donates the result buffer)."""
+    sdt = XtX.dtype
+    valid = bucket.row_ids < n_tgt
+    x_init = old_act[jnp.minimum(bucket.row_ids, n_tgt - 1)]
+    y, le = _solve_one_bucket(src_act, x_biases, XtX, rhs_init, bucket,
+                              x_init, lam, g, cfg, sdt)
+    y = jnp.where(valid[:, None], y, 0.0).astype(result_act.dtype)
+    loss = jnp.sum(jnp.where(valid, le, 0.0))
+    return result_act.at[bucket.row_ids].set(y), loss
+
+
+_jit_solve_scatter = partial(jax.jit, static_argnames=("cfg", "n_tgt"),
+                             donate_argnums=(0,))(_solve_scatter)
+
+
+def wrmf_sweep_streamed(
+    src: jax.Array,
+    tgt_old: jax.Array,
+    buckets: Tuple[RowBucket, ...],
+    src_cnt: Optional[jax.Array],
+    lam,
+    g,
+    cfg: ALSConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Streaming ALS half-sweep: one small jitted program per bucket shape.
+
+    Numerically identical to :func:`wrmf_sweep`, but the per-bucket solves
+    dispatch as separate XLA programs keyed on (B, L) — compile cost is per
+    *shape*, not per chunk, which matters when remote-compile latency is
+    high and nnz is large.
+    """
+    n_tgt = tgt_old.shape[0]
+    R = src.shape[1]
+    dtype = src.dtype
+    sdt = accum_dtype(dtype)
+    lam = jnp.asarray(lam, sdt)
+    g = jnp.asarray(g, sdt)
+
+    src_act, x_biases, XtX, rhs_init = _sweep_prepare(src, lam, g, cfg, sdt)
+    _, tgt_sl = _active_slices(cfg, R)
+    old_act = tgt_old[:, tgt_sl]
+    d = src_act.shape[1]
+    result_act = jnp.zeros((n_tgt + 1, d), dtype=dtype)
+    losses = []
+    for bucket in buckets:
+        result_act, le = _jit_solve_scatter(
+            result_act, src_act, x_biases, XtX, rhs_init, bucket, old_act,
+            lam, g, n_tgt, cfg)
+        losses.append(le)
+    tgt_new = _assemble_target(result_act[:n_tgt], n_tgt, cfg, dtype)
+    loss = sum(losses) + _src_reg_loss(src, src_cnt, lam, cfg, sdt)
+    return tgt_new, loss
+
+
 def wrmf_sweep(
     src: jax.Array,                 # (n_src, R) source factors
     tgt_old: jax.Array,             # (n_tgt, R) previous target factors
@@ -236,74 +363,17 @@ def wrmf_sweep(
     lam = jnp.asarray(lam, sdt)
     g = jnp.asarray(g, sdt)
 
-    src_sl, tgt_sl = _active_slices(cfg, R)
-    src_act = src[:, src_sl]
-    d = src_act.shape[1]
-    if cfg.with_biases:
-        bias_col = (R - 1) if cfg.bias_last_in_source else 0
-        x_biases = src[:, bias_col]
-    else:
-        x_biases = None
-
-    # Gram of active source factors + ridge — one big MXU matmul, the analog
-    # of the full-BLAS-threads tcrossprod in the reference (R/model_WRMF.R:474-486).
-    XtX = jnp.einsum("nd,ne->de", src_act.astype(sdt), src_act.astype(sdt),
-                     preferred_element_type=sdt)
-    is_implicit = cfg.feedback == "implicit"
-    if is_implicit:
-        XtX = XtX + lam * jnp.eye(d, dtype=sdt)
-
-    rhs_init = None
-    if is_implicit:
-        if cfg.with_biases:
-            # rhs over the all-missing baseline: -sum_j (bias_j + g) * x_j
-            rhs_init = -jnp.einsum(
-                "nd,n->d", src_act.astype(sdt), x_biases.astype(sdt) + g,
-                preferred_element_type=sdt)
-        elif cfg.use_global_bias:
-            # global_bias_base = -g * sum(X) (wrmf_implicit.hpp:111-112)
-            rhs_init = -g * jnp.sum(src_act.astype(sdt), axis=0)
-
+    src_act, x_biases, XtX, rhs_init = _sweep_prepare(src, lam, g, cfg, sdt)
+    _, tgt_sl = _active_slices(cfg, R)
     old_act = tgt_old[:, tgt_sl]
+    d = src_act.shape[1]
     result_act = jnp.zeros((n_tgt + 1, d), dtype=dtype)
     loss = jnp.zeros((), sdt)
-
     for bucket in buckets:
-        valid = bucket.row_ids < n_tgt
-        x_init = old_act[jnp.minimum(bucket.row_ids, n_tgt - 1)]
-        if is_implicit:
-            y, le = _solve_bucket_implicit(
-                src_act, x_biases, XtX, rhs_init, bucket, x_init, lam, g,
-                cfg, sdt)
-        else:
-            y, le = _solve_bucket_explicit(
-                src_act, x_biases, bucket, x_init, lam, cfg, sdt)
-        y = jnp.where(valid[:, None], y, 0.0).astype(dtype)
-        loss = loss + jnp.sum(jnp.where(valid, le, 0.0))
-        result_act = result_act.at[bucket.row_ids].set(y)
-
-    result_act = result_act[:n_tgt]
-
-    if cfg.with_biases:
-        ones = jnp.ones((n_tgt, 1), dtype=dtype)
-        if cfg.bias_last_in_source:   # target ones col is last
-            tgt_new = jnp.concatenate([result_act, ones], axis=1)
-        else:                         # target ones col is first
-            tgt_new = jnp.concatenate([ones, result_act], axis=1)
-    else:
-        tgt_new = result_act
-
-    # Final regularizer over learned source parameters
-    # (wrmf_implicit.hpp:286-303, wrmf_explicit.hpp:147-172).
-    if cfg.with_biases:
-        excl_sl = slice(1, R) if cfg.bias_last_in_source else slice(0, R - 1)
-        X_excl = src[:, excl_sl].astype(sdt)
-    else:
-        X_excl = src.astype(sdt)
-    if cfg.feedback == "explicit" and cfg.dynamic_lambda:
-        loss = loss + lam * jnp.einsum(
-            "nd,n->", X_excl * X_excl, src_cnt.astype(sdt))
-    else:
-        loss = loss + lam * jnp.sum(X_excl * X_excl)
-
+        result_act, le = _solve_scatter(
+            result_act, src_act, x_biases, XtX, rhs_init, bucket, old_act,
+            lam, g, n_tgt, cfg)
+        loss = loss + le
+    tgt_new = _assemble_target(result_act[:n_tgt], n_tgt, cfg, dtype)
+    loss = loss + _src_reg_loss(src, src_cnt, lam, cfg, sdt)
     return tgt_new, loss

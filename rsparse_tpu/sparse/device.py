@@ -136,23 +136,33 @@ def bucket_rows(
         for s in range(0, len(rows_all), chunk_rows):
             rows = rows_all[s:s + chunk_rows]
             B = _round_up(len(rows), row_align)
-            nnz_arr = np.zeros((B,), dtype=np.int32)
-            nnz_arr[: len(rows)] = row_nnz[rows]
-            row_ids = np.full((B,), n_rows, dtype=np.int32)
-            row_ids[: len(rows)] = rows
-            # vectorized padded gather of each row's CSR segment
-            starts = np.zeros((B,), dtype=np.int64)
-            starts[: len(rows)] = csr.indptr[rows]
-            offs = np.arange(L, dtype=np.int64)[None, :]
-            flat = np.minimum(starts[:, None] + offs,
-                              max(csr.nnz - 1, 0))
-            valid = offs < nnz_arr[:, None]
+            native_out = None
             if csr.nnz:
-                col_idx = np.where(valid, csr.indices[flat], 0).astype(np.int32)
-                values = np.where(valid, csr.data[flat], 0).astype(np_val_dtype)
+                from ..native import fill_bucket
+                native_out = fill_bucket(csr.indptr, csr.indices, csr.data,
+                                         rows, B, L, n_rows, np_val_dtype)
+            if native_out is not None:
+                col_idx, values, nnz_arr, row_ids = native_out
             else:
-                col_idx = np.zeros((B, L), np.int32)
-                values = np.zeros((B, L), np_val_dtype)
+                # numpy fallback: vectorized padded gather of CSR segments
+                nnz_arr = np.zeros((B,), dtype=np.int32)
+                nnz_arr[: len(rows)] = row_nnz[rows]
+                row_ids = np.full((B,), n_rows, dtype=np.int32)
+                row_ids[: len(rows)] = rows
+                starts = np.zeros((B,), dtype=np.int64)
+                starts[: len(rows)] = csr.indptr[rows]
+                offs = np.arange(L, dtype=np.int64)[None, :]
+                flat = np.minimum(starts[:, None] + offs,
+                                  max(csr.nnz - 1, 0))
+                valid = offs < nnz_arr[:, None]
+                if csr.nnz:
+                    col_idx = np.where(valid, csr.indices[flat],
+                                       0).astype(np.int32)
+                    values = np.where(valid, csr.data[flat],
+                                      0).astype(np_val_dtype)
+                else:
+                    col_idx = np.zeros((B, L), np.int32)
+                    values = np.zeros((B, L), np_val_dtype)
             buckets.append(RowBucket(
                 row_ids=jnp.asarray(row_ids),
                 col_idx=jnp.asarray(col_idx),

@@ -1,0 +1,97 @@
+"""FactorizationMachine (reference test-fm.R) and RankMF."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from rsparse_tpu.models.fm import FactorizationMachine
+from rsparse_tpu.models.rankmf import RankMF
+
+
+def test_fm_learns_xor():
+    """FM must fit XOR — the nonlinearity canary (reference test-fm.R:2-17)."""
+    x = sp.csr_matrix(np.array([[0, 0], [0, 1], [1, 0], [1, 1]], float))
+    y = np.array([0.0, 1.0, 1.0, 0.0])
+    x_big = sp.vstack([x] * 200).tocsr()
+    y_big = np.tile(y, 200)
+    fm = FactorizationMachine(learning_rate_w=0.2, rank=2, lambda_w=0,
+                              lambda_v=0, family="binomial", seed=42)
+    fm.fit(x_big, y_big, n_iter=80)
+    p = fm.predict(x)
+    assert p[0] < 0.05 and p[3] < 0.05, f"negatives {p}"
+    assert p[1] > 0.95 and p[2] > 0.95, f"positives {p}"
+
+
+def test_fm_gaussian_regression():
+    rng = np.random.default_rng(0)
+    n, p = 1500, 40
+    x = sp.random(n, p, density=0.3, random_state=np.random.RandomState(1),
+                  format="csr")
+    beta = rng.standard_normal(p)
+    y = x @ beta + 0.01 * rng.standard_normal(n)
+    fm = FactorizationMachine(learning_rate_w=0.1, rank=2, family="gaussian",
+                              seed=0)
+    fm.fit(x, y, n_iter=50)
+    pred = fm.predict(x)
+    ss_res = np.sum((pred - y) ** 2)
+    ss_tot = np.sum((y - y.mean()) ** 2)
+    assert 1 - ss_res / ss_tot > 0.8
+
+
+def test_fm_errors():
+    x = sp.random(10, 5, density=0.5, format="csr")
+    fm = FactorizationMachine(seed=0)
+    with pytest.raises(ValueError):
+        fm.partial_fit(x, np.zeros(7))
+    fm.partial_fit(x, np.ones(10))
+    with pytest.raises(ValueError):
+        fm.partial_fit(sp.random(10, 6, density=0.5, format="csr"),
+                       np.ones(10))
+
+
+@pytest.mark.parametrize("loss", ["bpr", "warp"])
+def test_rankmf_separates(ml100k, loss):
+    """Ranking quality: positives should score above random negatives."""
+    train = sp.csr_matrix(ml100k)[:300]
+    model = RankMF(rank=8, learning_rate=0.1, loss=loss, seed=0,
+                   max_negative_samples=20)
+    model.partial_fit_transform(train, n_iter=100)
+    emb = model.partial_fit_transform(train, n_iter=100)
+    assert emb.shape == (300, 8)
+    assert model.components.shape == (8, train.shape[1])
+    # AUC proxy from training should beat random
+    assert model.auc_history[-1] > 0.65, model.auc_history
+
+    # direct check: mean score of held positives > mean score of negatives
+    scores = np.asarray(emb) @ model.components
+    pos_mask = (train.toarray() > 0)
+    pos_mean = scores[pos_mask].mean()
+    neg_mean = scores[~pos_mask].mean()
+    assert pos_mean > neg_mean
+
+
+def test_rankmf_side_features():
+    """Item side features: identical-feature items get identical embeddings."""
+    rng = np.random.RandomState(0)
+    x = sp.random(50, 30, density=0.2, random_state=rng, format="csr")
+    x.data[:] = 1.0
+    # 10 item features shared across 30 items
+    item_feats = sp.csr_matrix(
+        (np.ones(30), (np.arange(30), np.arange(30) % 10)), shape=(30, 10))
+    model = RankMF(rank=4, learning_rate=0.05, seed=0)
+    emb = model.partial_fit_transform(x, item_features=item_feats, n_iter=10)
+    assert emb.shape == (50, 4)
+    comps = model.components  # (4, 30)
+    np.testing.assert_allclose(comps[:, 0], comps[:, 10], rtol=1e-6)
+    np.testing.assert_allclose(comps[:, 3], comps[:, 23], rtol=1e-6)
+
+
+def test_rankmf_rmsprop_sigmoid():
+    rng = np.random.RandomState(1)
+    x = sp.random(40, 25, density=0.25, random_state=rng, format="csr")
+    x.data[:] = 1.0
+    model = RankMF(rank=4, learning_rate=0.05, optimizer="rmsprop",
+                   gamma=0.9, kernel="sigmoid", loss="warp", seed=0)
+    emb = model.partial_fit_transform(x, n_iter=20)
+    assert np.isfinite(np.asarray(emb)).all()
+    assert np.isfinite(model.components).all()
