@@ -22,6 +22,9 @@ from .models.scale_normalize import ScaleNormalize  # noqa: F401
 from .models.soft_als import (SVDResult, soft_als, soft_impute,  # noqa: F401
                               soft_svd)
 from .models.wrmf import WRMF  # noqa: F401
+from .models.kmeans import kmeans  # noqa: F401
 from .ops.topk import top_product  # noqa: F401
+from .sparse.splr import SparsePlusLowRank  # noqa: F401
+from .utils import checkpoint  # noqa: F401
 from .utils.metrics import ap_k, ndcg_k  # noqa: F401
 from .utils.split import train_test_split  # noqa: F401

@@ -113,6 +113,7 @@ class FactorizationMachine:
         self.family = family
         self.family_code = 1 if family == "binomial" else 2
         self.intercept = bool(intercept)
+        self.precision = precision
         self.dtype = resolve_dtype(precision)
         self._rng = np.random.default_rng(seed)
         self.n_features: Optional[int] = None

@@ -107,6 +107,7 @@ class FTRL:
         self.dropout = float(dropout)
         self.family = family
         self.family_code = _FAMILY_CODES[family]
+        self.precision = precision
         self.dtype = resolve_dtype(precision)
         self.n_features: Optional[int] = None
         self.z = None

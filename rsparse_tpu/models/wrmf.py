@@ -207,16 +207,22 @@ class WRMF(MatrixFactorizationRecommender):
         lam = self.lambda_
         g = self.global_bias if self.feedback == "implicit" else 0.0
 
+        from ..utils.profiling import FitTrace
         loss_prev = math.inf
         self.loss_history = []
+        self.fit_trace = FitTrace()
         for it in range(n_iter):
-            V, loss = wrmf_sweep_streamed(U, V, iu.buckets, self._cnt_u, lam, g,
-                                 cfg_items)
-            loss = float(loss) / nnz
+            with self.fit_trace.phase(it + 1, "items") as rec:
+                V, loss = wrmf_sweep_streamed(U, V, iu.buckets, self._cnt_u,
+                                              lam, g, cfg_items)
+                loss = float(loss) / nnz
+                rec["loss"] = loss
             logger.info("iter %d (items) loss = %.4f", it + 1, loss)
-            U, loss = wrmf_sweep_streamed(V, U, ui.buckets, self._cnt_i, lam, g,
-                                 cfg_users)
-            loss = float(loss) / nnz
+            with self.fit_trace.phase(it + 1, "users") as rec:
+                U, loss = wrmf_sweep_streamed(V, U, ui.buckets, self._cnt_i,
+                                              lam, g, cfg_users)
+                loss = float(loss) / nnz
+                rec["loss"] = loss
             logger.info("iter %d (users) loss = %.4f", it + 1, loss)
             self.loss_history.append(loss)
             if loss_prev / loss - 1 < convergence_tol:

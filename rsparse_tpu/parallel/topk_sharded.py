@@ -1,0 +1,80 @@
+"""Item-axis-sharded top-k retrieval.
+
+The reference streams a per-user min-heap over the full item axis
+(src/matrix_top_product.cpp:61-97).  At pod scale the item axis is the long
+axis (SURVEY §5): here items are sharded across the mesh, every device
+computes a fused dot+mask+top-k over its item shard, and only the O(k)
+candidates per user cross the wire — an all-gather of (k, score) pairs
+followed by a final top-k merge.  This is the MF counterpart of
+ring/Ulysses-style sequence sharding: partition the long axis, exchange
+only per-shard summaries.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+def sharded_top_k(
+    mesh: Mesh,
+    x: jax.Array,          # (n_users, R) replicated
+    y: jax.Array,          # (R, n_items) — will be sharded on axis 1
+    k: int,
+    mask: Optional[jax.Array] = None,   # (n_users, n_items) bool, True=mask
+    glob_mean: float = 0.0,
+    axis: str = "data",
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k of ``x @ y + glob_mean`` with the item axis sharded.
+
+    Returns (scores (n_users, k), indices (n_users, k) int32).  ``n_items``
+    must divide the mesh axis size.
+    """
+    n_dev = mesh.shape[axis]
+    n_users, n_items = x.shape[0], y.shape[1]
+    if n_items % n_dev:
+        raise ValueError(f"n_items={n_items} not divisible by mesh axis "
+                         f"{n_dev}")
+    shard = n_items // n_dev
+    if k > shard:
+        raise ValueError(f"k={k} must be <= items-per-shard={shard}")
+
+    y_sh = jax.device_put(y, NamedSharding(mesh, P(None, axis)))
+    x_rep = jax.device_put(x, NamedSharding(mesh, P()))
+    gm = jnp.float32(glob_mean)
+    has_mask = mask is not None
+
+    def local_topk(x_l, y_l, m_l=None):
+        # per-shard fused dot + mask + top-k
+        scores = jnp.dot(x_l, y_l, preferred_element_type=jnp.float32) + gm
+        if m_l is not None:
+            scores = jnp.where(m_l, NEG_INF, scores)
+        s, i = jax.lax.top_k(scores, k)
+        # globalize indices: offset by this shard's item base
+        base = jax.lax.axis_index(axis) * shard
+        i = i.astype(jnp.int32) + base
+        # all-gather the O(k) candidates and merge
+        s_all = jax.lax.all_gather(s, axis, axis=1)      # (n_u, n_dev, k)
+        i_all = jax.lax.all_gather(i, axis, axis=1)
+        s_flat = s_all.reshape(n_users, n_dev * k)
+        i_flat = i_all.reshape(n_users, n_dev * k)
+        sm, im = jax.lax.top_k(s_flat, k)
+        return sm, jnp.take_along_axis(i_flat, im, axis=1)
+
+    if has_mask:
+        mask_sh = jax.device_put(mask, NamedSharding(mesh, P(None, axis)))
+        fn = jax.shard_map(local_topk, mesh=mesh,
+                           in_specs=(P(), P(None, axis), P(None, axis)),
+                           out_specs=(P(), P()), check_vma=False)
+        return fn(x_rep, y_sh, mask_sh)
+    fn = jax.shard_map(local_topk, mesh=mesh,
+                       in_specs=(P(), P(None, axis)),
+                       out_specs=(P(), P()), check_vma=False)
+    return fn(x_rep, y_sh)

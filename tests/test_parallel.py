@@ -1,0 +1,108 @@
+"""Multi-device sharding on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from rsparse_tpu.ops.als import (ALSConfig, CONJUGATE_GRADIENT, CHOLESKY,
+                                 wrmf_sweep)
+from rsparse_tpu.parallel.mesh import make_mesh, shard_buckets
+from rsparse_tpu.parallel.topk_sharded import sharded_top_k
+from rsparse_tpu.parallel.wrmf_step import shard_problem, train_step
+from rsparse_tpu.sparse.device import bucket_rows
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices")
+
+
+def _problem(n_users=128, n_items=96, rank=8, seed=0, row_align=8):
+    rs = np.random.RandomState(seed)
+    x = sp.random(n_users, n_items, density=0.2, random_state=rs,
+                  format="csr")
+    x.data = 1.0 + 4.0 * x.data
+    iu = bucket_rows(x.T.tocsr(), jnp.float32, row_align=row_align,
+                     max_buckets=3)
+    ui = bucket_rows(x, jnp.float32, row_align=row_align, max_buckets=3)
+    rng = np.random.default_rng(seed)
+    U = jnp.asarray(rng.standard_normal((n_users, rank)) * 0.01, jnp.float32)
+    V = jnp.asarray(rng.standard_normal((n_items, rank)) * 0.01, jnp.float32)
+    return x, U, V, iu, ui
+
+
+def test_sharded_train_step_matches_single_device():
+    """The sharded ('data','model') training step must produce the same
+    factors as the unsharded sweep."""
+    x, U, V, iu, ui = _problem(row_align=32)  # 4-way data sharding
+    cfg = ALSConfig(feedback="implicit", solver=CONJUGATE_GRADIENT)
+
+    # single-device reference
+    V1, _ = wrmf_sweep(U, V, iu.buckets, None, 0.1, 0.0, cfg)
+    U1, loss1 = wrmf_sweep(V1, U, ui.buckets, None, 0.1, 0.0, cfg)
+
+    mesh = make_mesh((4, 2), ("data", "model"), jax.devices()[:8])
+    Us, Vs, iu_s, ui_s = shard_problem(mesh, U, V, iu, ui)
+    with mesh:
+        U2, V2, loss2 = train_step(Us, Vs, iu_s.buckets, ui_s.buckets,
+                                   None, None, 0.1, 0.0, cfg, cfg)
+    np.testing.assert_allclose(np.asarray(V1), np.asarray(V2), rtol=2e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(U1), np.asarray(U2), rtol=2e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+
+
+def test_sharded_cholesky_step():
+    x, U, V, iu, ui = _problem(row_align=16)
+    cfg = ALSConfig(feedback="implicit", solver=CHOLESKY)
+    V1, _ = wrmf_sweep(U, V, iu.buckets, None, 0.5, 0.0, cfg)
+    mesh = make_mesh((2, 4), ("data", "model"), jax.devices()[:8])
+    Us, Vs, iu_s, ui_s = shard_problem(mesh, U, V, iu, ui)
+    with mesh:
+        _, V2, _ = train_step(Us, Vs, iu_s.buckets, ui_s.buckets,
+                              None, None, 0.5, 0.0, cfg, cfg)
+    # V2 is the result of the same first half-sweep then a user sweep; redo
+    # manually: compare item factors after the item sweep only
+    with mesh:
+        from rsparse_tpu.ops.als import wrmf_sweep as sweep
+        V2_only, _ = jax.jit(sweep, static_argnames=("cfg",))(
+            Us, Vs, iu_s.buckets, None, 0.5, 0.0, cfg)
+    np.testing.assert_allclose(np.asarray(V1), np.asarray(V2_only),
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_sharded_top_k_exact():
+    rng = np.random.default_rng(0)
+    n_u, n_i, r, k = 64, 96, 16, 7
+    x = rng.standard_normal((n_u, r)).astype(np.float32)
+    y = rng.standard_normal((r, n_i)).astype(np.float32)
+    mask = rng.random((n_u, n_i)) < 0.2
+    mesh = make_mesh((8,), ("data",), jax.devices()[:8])
+    s, i = sharded_top_k(mesh, jnp.asarray(x), jnp.asarray(y), k,
+                         mask=jnp.asarray(mask), glob_mean=0.5)
+    dense = x @ y + 0.5
+    dense[mask] = -np.inf
+    expect_i = np.argsort(-dense, axis=1)[:, :k]
+    np.testing.assert_array_equal(np.asarray(i), expect_i)
+    np.testing.assert_allclose(
+        np.asarray(s), np.take_along_axis(dense, expect_i, 1), rtol=1e-5)
+
+
+def test_sharded_top_k_no_mask():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((32, 8)).astype(np.float32)
+    y = rng.standard_normal((8, 64)).astype(np.float32)
+    mesh = make_mesh((8,), ("data",), jax.devices()[:8])
+    s, i = sharded_top_k(mesh, jnp.asarray(x), jnp.asarray(y), 5)
+    dense = x @ y
+    expect = np.argsort(-dense, axis=1)[:, :5]
+    np.testing.assert_array_equal(np.asarray(i), expect)
+
+
+def test_graft_entry_points():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out[0].shape[1] == 16
+    ge.dryrun_multichip(8)
