@@ -68,6 +68,9 @@ class ALSConfig:
     #: dtype of the gathered factor blocks fed to the MXU ("bfloat16" halves
     #: HBM traffic of the hot gathers; accumulation stays float32)
     compute_dtype: str = "float32"
+    #: route eligible implicit-CG buckets through the fused Pallas kernel
+    #: (ops/pallas_cg.py); experimental — the XLA path is the tuned default
+    use_pallas: bool = False
 
 
 def solver_code(name: str) -> int:
@@ -131,6 +134,17 @@ def _solve_bucket_implicit(
     else:
         xb = None
         offs = None
+
+    if (cfg.use_pallas and cfg.solver == CONJUGATE_GRADIENT
+            and not cfg.with_biases and sdt == jnp.float32):
+        from .pallas_cg import fused_cg_implicit, fused_cg_supported
+        if fused_cg_supported(bucket.pad_len, Xg.shape[-1]):
+            rhs0 = rhs_init if (cfg.use_global_bias and rhs_init is not None
+                                ) else None
+            y, loss = fused_cg_implicit(
+                XtX, rhs0, Xg, bucket.values, bucket.nnz,
+                x_init, lam, g, cg_steps=cfg.cg_steps)
+            return y, loss
 
     c_eff = cm if offs is None else cm - cm1 * offs
     rhs = jnp.einsum("bld,bl->bd", Xg, c_eff.astype(gdt),
