@@ -57,6 +57,9 @@ class WRMF(MatrixFactorizationRecommender):
         precision: str = "float32",
         nnls_max_iter: int = 10_000,
         seed: Optional[int] = None,
+        mesh=None,
+        compute_dtype: str = "float32",
+        use_pallas: bool = False,
     ):
         super().__init__()
         if feedback not in ("implicit", "explicit"):
@@ -89,6 +92,11 @@ class WRMF(MatrixFactorizationRecommender):
         self._rng = np.random.default_rng(seed)
         self.global_bias = 0.0
         self._init_components = init
+        #: optional jax Mesh with a "data" axis (and optionally "model"):
+        #: buckets shard over "data", factor tables over "model"
+        self.mesh = mesh
+        self.compute_dtype = compute_dtype
+        self.use_pallas = bool(use_pallas)
         self.components = None          # (R, n_items) view for the public API
         self._V = None                  # (n_items, R) device factors
         self._U = None                  # (n_users, R) device factors
@@ -111,7 +119,45 @@ class WRMF(MatrixFactorizationRecommender):
                              and not self.with_user_item_bias),
             dynamic_lambda=self.dynamic_lambda,
             nnls_max_iter=self.nnls_max_iter,
+            compute_dtype=self.compute_dtype,
+            use_pallas=self.use_pallas,
         )
+
+    # -- sharding helpers --------------------------------------------------
+
+    @property
+    def _row_align(self) -> int:
+        if self.mesh is None:
+            return 8
+        n = self.mesh.shape.get("data", 1)
+        return 8 * n if 8 % n else 8
+
+    def _bucketize(self, csr, include_empty: bool):
+        br = bucket_rows(csr, self.dtype, include_empty=include_empty,
+                         row_align=self._row_align)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_buckets
+            br = shard_buckets(br, self.mesh, "data")
+        return br
+
+    def _place_factors(self, arr):
+        if self.mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if "model" in self.mesh.axis_names:
+            n = self.mesh.shape["model"]
+            if arr.shape[0] % n == 0:
+                return jax.device_put(
+                    arr, NamedSharding(self.mesh, P("model")))
+        return jax.device_put(
+            arr, NamedSharding(self.mesh, P()))
+
+    def _sweep(self, src, tgt, buckets, src_cnt, lam, g, cfg):
+        if self.mesh is not None:
+            with self.mesh:
+                return wrmf_sweep_streamed(src, tgt, buckets, src_cnt, lam,
+                                           g, cfg)
+        return wrmf_sweep_streamed(src, tgt, buckets, src_cnt, lam, g, cfg)
 
     @property
     def _include_empty(self) -> bool:
@@ -173,8 +219,8 @@ class WRMF(MatrixFactorizationRecommender):
         incl = self._include_empty
         # items-as-rows buckets drive the item sweep; users-as-rows the user
         # sweep (the two orientations of R/model_WRMF.R:184-189)
-        iu = bucket_rows(csr.T.tocsr(), self.dtype, include_empty=incl)
-        ui = bucket_rows(csr, self.dtype, include_empty=incl)
+        iu = self._bucketize(csr.T.tocsr(), incl)
+        ui = self._bucketize(csr, incl)
         self._train_ui = ui
         nnz = max(csr.nnz, 1)
         self._cnt_u = jnp.asarray(np.diff(csr.indptr), jnp.float32)
@@ -195,6 +241,7 @@ class WRMF(MatrixFactorizationRecommender):
             V = self._rand(n_items)
         if self.non_negative:
             U, V = jnp.abs(U), jnp.abs(V)
+        U, V = self._place_factors(U), self._place_factors(V)
         if self.with_user_item_bias:
             # users = [1, emb..., u_bias]; items = [i_bias, emb..., 1]
             U = U.at[:, 0].set(1.0)
@@ -213,14 +260,14 @@ class WRMF(MatrixFactorizationRecommender):
         self.fit_trace = FitTrace()
         for it in range(n_iter):
             with self.fit_trace.phase(it + 1, "items") as rec:
-                V, loss = wrmf_sweep_streamed(U, V, iu.buckets, self._cnt_u,
-                                              lam, g, cfg_items)
+                V, loss = self._sweep(U, V, iu.buckets, self._cnt_u,
+                                      lam, g, cfg_items)
                 loss = float(loss) / nnz
                 rec["loss"] = loss
             logger.info("iter %d (items) loss = %.4f", it + 1, loss)
             with self.fit_trace.phase(it + 1, "users") as rec:
-                U, loss = wrmf_sweep_streamed(V, U, ui.buckets, self._cnt_i,
-                                              lam, g, cfg_users)
+                U, loss = self._sweep(V, U, ui.buckets, self._cnt_i,
+                                      lam, g, cfg_users)
                 loss = float(loss) / nnz
                 rec["loss"] = loss
             logger.info("iter %d (users) loss = %.4f", it + 1, loss)
@@ -243,10 +290,11 @@ class WRMF(MatrixFactorizationRecommender):
         (``avoid_cg``, reference R/model_WRMF.R:111-112,412-452)."""
         solver = CHOLESKY if self.solver == CONJUGATE_GRADIENT else self.solver
         cfg = self._cfg(bias_last_in_source=False, solver=solver)
-        tgt0 = jnp.zeros((n_users, self._R), dtype=self.dtype)
+        tgt0 = self._place_factors(
+            jnp.zeros((n_users, self._R), dtype=self.dtype))
         g = self.global_bias if self.feedback == "implicit" else 0.0
-        U, _ = wrmf_sweep_streamed(self._V, tgt0, ui.buckets, self._cnt_i,
-                          self.lambda_, g, cfg)
+        U, _ = self._sweep(self._V, tgt0, ui.buckets, self._cnt_i,
+                           self.lambda_, g, cfg)
         return U
 
     def transform(self, x: sp.spmatrix) -> jax.Array:
@@ -262,6 +310,6 @@ class WRMF(MatrixFactorizationRecommender):
         if self.feedback == "explicit" and self.global_bias != 0.0:
             csr = csr.copy()
             csr.data = csr.data - self.global_bias
-        ui = bucket_rows(csr, self.dtype, include_empty=self._include_empty)
+        ui = self._bucketize(csr, self._include_empty)
         emb = self._transform_buckets(ui, csr.shape[0])
         return emb

@@ -106,3 +106,22 @@ def test_graft_entry_points():
     out = jax.jit(fn)(*args)
     assert out[0].shape[1] == 16
     ge.dryrun_multichip(8)
+
+
+def test_wrmf_model_with_mesh(ml100k_split):
+    """WRMF(mesh=...) must reproduce the single-device model."""
+    from rsparse_tpu import WRMF
+    train, cv = ml100k_split
+    mesh = make_mesh((4, 2), ("data", "model"), jax.devices()[:8])
+    kw = dict(rank=6, lambda_=0.5, feedback="implicit", solver="cholesky",
+              precision="double", seed=0)
+    m1 = WRMF(**kw)
+    e1 = m1.fit_transform(train, n_iter=2, convergence_tol=-1)
+    m2 = WRMF(mesh=mesh, **kw)
+    e2 = m2.fit_transform(train, n_iter=2, convergence_tol=-1)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2),
+                               rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(m1.loss_history, m2.loss_history, rtol=1e-8)
+    p1 = m1.predict(cv, k=5)
+    p2 = m2.predict(cv, k=5)
+    np.testing.assert_array_equal(p1.indices, p2.indices)
