@@ -119,6 +119,61 @@ def measure_topk(csr, rank):
         f"({n_users/dt:,.0f} users/s)")
 
 
+def measure_glove(vocab=50_000, nnz=8_000_000, rank=128, seed=0):
+    """Config #4: GloVe on a text8-scale synthetic co-occurrence."""
+    import scipy.sparse as sp
+    from rsparse_tpu.models.glove import GloVe
+    rng = np.random.default_rng(seed)
+    pop = 1.0 / (np.arange(vocab) + 5.0)
+    pop /= pop.sum()
+    i = rng.choice(vocab, nnz, p=pop)
+    j = rng.choice(vocab, nnz, p=pop)
+    v = 1.0 + rng.exponential(5.0, nnz)
+    tcm = sp.coo_matrix((v, (i, j)), shape=(vocab, vocab))
+    tcm.sum_duplicates()
+    model = GloVe(rank=rank, x_max=100, learning_rate=0.05, seed=0,
+                  batch_size=1 << 16)
+    t0 = time.time()
+    model.fit_transform(tcm, n_iter=1)
+    log(f"glove first epoch (compile): {time.time()-t0:.1f}s")
+    t0 = time.time()
+    model.fit_transform(tcm, n_iter=2)
+    dt = (time.time() - t0) / 2
+    log(f"glove: {dt*1e3:.0f} ms/epoch -> {tcm.nnz/dt/1e6:.1f} M triplets/s "
+        f"(vocab={vocab}, nnz={tcm.nnz})")
+
+
+def measure_soft_impute(csr, rank=256):
+    """Config #3: soft-impute ALS iteration at LinearFlow-scale rank."""
+    from rsparse_tpu.models.soft_als import soft_impute
+    t0 = time.time()
+    soft_impute(csr, rank=rank, n_iter=1, final_svd=False, seed=0)
+    log(f"soft_impute first iter (compile): {time.time()-t0:.1f}s")
+    t0 = time.time()
+    n = 3
+    soft_impute(csr, rank=rank, n_iter=n, convergence_tol=-1,
+                final_svd=False, seed=0)
+    dt = (time.time() - t0) / n
+    log(f"soft_impute rank-{rank}: {dt*1e3:.0f} ms/iter "
+        f"({csr.nnz} nnz)")
+
+
+def measure_rankmf(csr, rank=128):
+    """Config #5: RankMF WARP pairwise updates/s."""
+    from rsparse_tpu.models.rankmf import RankMF
+    m = RankMF(rank=rank, learning_rate=0.05, loss="warp", seed=0,
+               batch_size=8192, max_negative_samples=20)
+    t0 = time.time()
+    m.partial_fit_transform(csr, n_iter=1)
+    log(f"rankmf first pass (compile): {time.time()-t0:.1f}s")
+    n_updates = 8 * csr.shape[0]
+    t0 = time.time()
+    m.partial_fit_transform(csr, n_iter=8)
+    dt = time.time() - t0
+    log(f"rankmf warp: {n_updates/dt:,.0f} pairwise updates/s "
+        f"(AUC~{m.auc_history[-1]:.3f})")
+
+
 def cpu_baseline_subprocess():
     """Measure CPU user-updates/s in a fresh process (jax.config platform
     switch — env vars are overridden by the image's sitecustomize)."""
@@ -149,10 +204,18 @@ def main():
                            4096 if quick else N_ITEMS)
     log(f"problem: {csr.shape} nnz={csr.nnz}")
     ups = measure_sweep(csr, RANK, 2 if quick else REPS)
-    try:
-        measure_topk(sp.csr_matrix(csr[:8192]), RANK)
-    except Exception as e:  # noqa: BLE001
-        log("topk bench failed:", e)
+    for name, fn in [
+        ("topk", lambda: measure_topk(sp.csr_matrix(csr[:8192]), RANK)),
+        ("glove", lambda: None if quick else measure_glove()),
+        ("soft_impute", lambda: None if quick else measure_soft_impute(
+            sp.csr_matrix(csr[:16384]))),
+        ("rankmf", lambda: None if quick else measure_rankmf(
+            sp.csr_matrix(csr[:16384]))),
+    ]:
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001
+            log(f"{name} bench failed:", e)
 
     vs = float("nan")
     if not quick:

@@ -9,7 +9,7 @@ and sharded over device meshes instead of OpenMP threads.
 
 __version__ = "0.1.0"
 
-from .config import logger, resolve_dtype  # noqa: F401
+from .config import default_device_count, logger, resolve_dtype  # noqa: F401
 from .data.movielens import load_movielens100k  # noqa: F401
 from .models.base import MatrixFactorizationRecommender, TopK  # noqa: F401
 from .models.fm import FactorizationMachine  # noqa: F401

@@ -9,8 +9,6 @@ this replaces the reference's reliance on R's readers + the S4 extractors
 
 from __future__ import annotations
 
-import os
-from typing import Optional, Tuple
 
 import numpy as np
 import scipy.sparse as sp

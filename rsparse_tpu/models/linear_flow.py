@@ -29,7 +29,7 @@ from ..ops.topk import top_product
 from ..sparse.device import bucket_rows
 from ..utils.metrics import ap_k, ndcg_k
 from .base import MatrixFactorizationRecommender, get_names
-from .soft_als import SVDResult, soft_impute, soft_svd
+from .soft_als import soft_impute, soft_svd
 
 
 def _solve_ridge(lhs: jax.Array, rhs: jax.Array, lam: float) -> jax.Array:

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
-import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 

@@ -21,7 +21,6 @@ at tests/testthat/test-wrmf.R:56-57).
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -272,7 +271,7 @@ class WRMF(MatrixFactorizationRecommender):
                 rec["loss"] = loss
             logger.info("iter %d (users) loss = %.4f", it + 1, loss)
             self.loss_history.append(loss)
-            if loss_prev / loss - 1 < convergence_tol:
+            if loss == 0.0 or loss_prev / loss - 1 < convergence_tol:
                 logger.info("converged after %d iterations", it + 1)
                 break
             loss_prev = loss

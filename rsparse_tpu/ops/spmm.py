@@ -12,13 +12,11 @@ einsums that XLA maps onto the MXU, instead of per-row OpenMP loops.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..config import accum_dtype
-from ..sparse.device import BucketedRows, RowBucket
 
 
 def spmm_buckets(br_buckets, n_rows: int, dense: jax.Array,

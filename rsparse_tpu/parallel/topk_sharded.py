@@ -12,7 +12,6 @@ only per-shard summaries.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -18,7 +18,6 @@ from functools import partial
 from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.als import ALSConfig, wrmf_sweep
