@@ -174,6 +174,24 @@ def measure_rankmf(csr, rank=128):
         f"(AUC~{m.auc_history[-1]:.3f})")
 
 
+def measure_quality_ml100k():
+    """Driver config #1 quality gate: WRMF implicit CG rank 10 on the
+    bundled real ML-100k, NDCG@10 / MAP@10 on held-out interactions."""
+    import rsparse_tpu as rt
+    x = rt.load_movielens100k()
+    rng = np.random.default_rng(0)
+    train, test = rt.train_test_split(x, 0.2, rng)
+    model = rt.WRMF(rank=10, lambda_=1.0, feedback="implicit",
+                    solver="conjugate_gradient", seed=0)
+    t0 = time.time()
+    model.fit_transform(train, n_iter=10)
+    preds = model.predict(train, k=10, not_recommend=train)
+    ndcg = float(np.nanmean(rt.ndcg_k(preds.indices, test)))
+    mapk = float(np.nanmean(rt.ap_k(preds.indices, test)))
+    log(f"ml100k quality (rank-10 implicit CG, {time.time()-t0:.1f}s): "
+        f"NDCG@10={ndcg:.4f} MAP@10={mapk:.4f}")
+
+
 def cpu_baseline_subprocess():
     """Measure CPU user-updates/s in a fresh process (jax.config platform
     switch — env vars are overridden by the image's sitecustomize)."""
@@ -211,6 +229,7 @@ def main():
             sp.csr_matrix(csr[:16384]))),
         ("rankmf", lambda: None if quick else measure_rankmf(
             sp.csr_matrix(csr[:16384]))),
+        ("quality", lambda: None if quick else measure_quality_ml100k()),
     ]:
         try:
             fn()
