@@ -113,3 +113,56 @@ def test_implicit_cholesky_trajectory_matches_replica():
     np.testing.assert_allclose(model.loss_history, losses_ref, rtol=1e-8)
     np.testing.assert_allclose(np.asarray(emb), U_ref, rtol=1e-6,
                                atol=1e-10)
+
+
+def _sweep_ref_explicit(conf_csc, X, Y, lam, dynamic, cnt_src):
+    """Explicit half-sweep (wrmf_explicit.hpp:34-173), Cholesky."""
+    r = X.shape[1]
+    Y = Y.copy()
+    loss = 0.0
+    for i in range(conf_csc.shape[1]):
+        p1, p2 = conf_csc.indptr[i], conf_csc.indptr[i + 1]
+        if p1 == p2:
+            Y[i] = 0.0
+            continue
+        idx = conf_csc.indices[p1:p2]
+        vals = conf_csc.data[p1:p2]
+        lam_use = lam * (p2 - p1) if dynamic else lam
+        Xn = X[idx]
+        lhs = Xn.T @ Xn + lam_use * np.eye(r)
+        y = np.linalg.solve(lhs, Xn.T @ vals)
+        Y[i] = y
+        diff = vals - Xn @ y
+        loss += diff @ diff + lam_use * (y @ y)
+    if dynamic:
+        loss += lam * np.sum((X * X).sum(1) * cnt_src)
+    else:
+        loss += lam * np.sum(X * X)
+    return Y, loss
+
+
+def test_explicit_dynamic_lambda_trajectory_matches_replica():
+    rs = np.random.RandomState(2)
+    csr = sp.random(70, 45, density=0.25, random_state=rs, format="csr")
+    csr.data = 1.0 + 4.0 * csr.data
+    lam = 0.3
+    model = WRMF(rank=5, lambda_=lam, feedback="explicit", solver="cholesky",
+                 dynamic_lambda=True, precision="double", seed=11)
+    emb = model.fit_transform(csr, n_iter=3, convergence_tol=-1)
+
+    rng = np.random.default_rng(11)
+    n_u, n_i = csr.shape
+    U = rng.standard_normal((n_u, 5)) * 0.01
+    V = rng.standard_normal((n_i, 5)) * 0.01
+    cnt_u = np.diff(csr.indptr)
+    cnt_i = np.diff(csr.tocsc().indptr)
+    csc = csr.tocsc()
+    losses = []
+    for _ in range(3):
+        V, _ = _sweep_ref_explicit(csc, U, V, lam, True, cnt_u)
+        U, loss = _sweep_ref_explicit(csr.T.tocsc(), V, U, lam, True, cnt_i)
+        losses.append(loss / csr.nnz)
+    U, _ = _sweep_ref_explicit(csr.T.tocsc(), V, np.zeros_like(U), lam,
+                               True, cnt_i)
+    np.testing.assert_allclose(model.loss_history, losses, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(emb), U, rtol=1e-6, atol=1e-10)
