@@ -35,7 +35,7 @@ N_USERS = 65_536
 N_ITEMS = 32_768
 MEAN_NNZ = 144          # ML-20M-ish interactions per user
 LAM = 0.1
-REPS = 5
+REPS = 10
 BASELINE_THREADS = 16
 
 
@@ -63,7 +63,8 @@ def synth_ml20m_like(n_users=N_USERS, n_items=N_ITEMS, mean_nnz=MEAN_NNZ,
 
 def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
                   solver="conjugate_gradient"):
-    """Min over ``reps`` fully-blocked warm user-sweeps -> user-updates/s."""
+    """Sustained user-updates/s: ``reps`` chained warm sweeps, one final
+    scalar readback forcing the dependency chain."""
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
@@ -71,8 +72,8 @@ def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
-    from rsparse_tpu.ops.als import (ALSConfig, solver_code,
-                                     wrmf_sweep_streamed)
+    from functools import partial
+    from rsparse_tpu.ops.als import ALSConfig, solver_code, wrmf_sweep
     from rsparse_tpu.sparse.device import bucket_rows
 
     n_users, n_items = csr.shape
@@ -86,22 +87,23 @@ def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
     V = jnp.asarray(rng.standard_normal((n_items, rank)) * 0.01, jnp.float32)
     cfg = ALSConfig(feedback="implicit", solver=solver_code(solver),
                     compute_dtype=compute_dtype)
+    sweep = partial(jax.jit, static_argnames=("cfg",))(wrmf_sweep)
 
     t0 = time.time()
-    U2, loss = wrmf_sweep_streamed(V, U, ui.buckets, None, LAM, 0.0, cfg)
-    U2.block_until_ready()
+    U2, loss = sweep(V, U, ui.buckets, None, LAM, 0.0, cfg)
     log(f"first call (compile): {time.time()-t0:.1f}s loss={float(loss):.1f}")
 
-    times = []
+    # sustained throughput: chained sweeps, one final scalar readback (the
+    # relay's block_until_ready is unreliable; the loss value forces the
+    # whole dependency chain)
+    t0 = time.time()
     for _ in range(reps):
-        t0 = time.time()
-        U2, loss = wrmf_sweep_streamed(V, U2, ui.buckets, None, LAM, 0.0, cfg)
-        U2.block_until_ready()
-        times.append(time.time() - t0)
-    dt = min(times)
+        U2, loss = sweep(V, U2, ui.buckets, None, LAM, 0.0, cfg)
+    final_loss = float(loss)
+    dt = (time.time() - t0) / reps
     ups = n_users / dt
-    log(f"warm sweep ({solver}/{compute_dtype}): {dt*1e3:.1f} ms -> "
-        f"{ups:,.0f} user-updates/s ({csr.nnz} nnz)")
+    log(f"sustained sweep ({solver}/{compute_dtype}): {dt*1e3:.1f} ms -> "
+        f"{ups:,.0f} user-updates/s ({csr.nnz} nnz, loss {final_loss:.0f})")
     return ups
 
 
@@ -241,7 +243,7 @@ def main():
     csr = synth_ml20m_like(8192 if quick else N_USERS,
                            4096 if quick else N_ITEMS)
     log(f"problem: {csr.shape} nnz={csr.nnz}")
-    ups = measure_sweep(csr, RANK, 2 if quick else REPS)
+    ups = measure_sweep(csr, RANK, 3 if quick else REPS)
     for name, fn in [
         ("topk", lambda: measure_topk(sp.csr_matrix(csr[:8192]), RANK)),
         ("glove", lambda: None if quick else measure_glove()),
