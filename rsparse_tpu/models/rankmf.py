@@ -295,7 +295,10 @@ class RankMF(MatrixFactorizationRecommender):
 
         W, H = self.user_features_embeddings, self.item_features_embeddings
         accW, accH = self._accW, self._accH
-        auc_n = auc_d = 0
+        # accumulate the AUC counters on device; a per-batch scalar readback
+        # would serialize every dispatch through the host
+        auc_n = jnp.zeros((), jnp.int32)
+        auc_d = jnp.zeros((), jnp.int32)
         for b in range(n_batches):
             self._key, sub = jax.random.split(self._key)
             (W, H, accW, accH, an, ad, nf, nt) = _rankmf_batch(
@@ -303,9 +306,9 @@ class RankMF(MatrixFactorizationRecommender):
                 self.learning_rate, self.gamma, self.lambda_user,
                 self.lambda_item_positive, self.lambda_item_negative,
                 self.margin, cfg, n_item, bs_steps)
-            auc_n += int(an)
-            auc_d += int(ad)
-        self.auc_history.append(auc_n / max(auc_d, 1))
+            auc_n = auc_n + an
+            auc_d = auc_d + ad
+        self.auc_history.append(int(auc_n) / max(int(auc_d), 1))
         logger.info("RankMF: %d updates, AUC~%.3f", n_batches * S,
                     self.auc_history[-1])
 
