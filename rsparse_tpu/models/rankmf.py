@@ -98,8 +98,6 @@ def _in_sorted_segment(flat_idx, p1, nnz, queries, n_steps: int):
     return (lo < nnz[:, None]) & (v == queries)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_item", "bs_steps"),
-         donate_argnums=(0, 1, 2, 3))
 def _rankmf_batch(W, H, accW, accH, key, flat_idx, indptr, row_nnz,
                   uf: _Feats, itf: _Feats, lr, gamma, lam_u, lam_ip, lam_in,
                   margin, cfg, n_item: int, bs_steps: int):
@@ -201,6 +199,28 @@ def _rankmf_batch(W, H, accW, accH, key, flat_idx, indptr, row_nnz,
     return W, H, accW, accH, auc_num, auc_den, jnp.sum(found), n_tried
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_item", "bs_steps"),
+         donate_argnums=(0, 1, 2, 3))
+def _rankmf_epoch(W, H, accW, accH, keys, flat_idx, indptr, row_nnz,
+                  uf: _Feats, itf: _Feats, lr, gamma, lam_u, lam_ip, lam_in,
+                  margin, cfg, n_item: int, bs_steps: int):
+    """All minibatches of one fit call as a single scanned program —
+    per-batch host dispatch would dominate on a high-latency runtime."""
+
+    def step(carry, key):
+        W, H, accW, accH, an, ad = carry
+        W, H, accW, accH, a_n, a_d, _, _ = _rankmf_batch(
+            W, H, accW, accH, key, flat_idx, indptr, row_nnz, uf, itf,
+            lr, gamma, lam_u, lam_ip, lam_in, margin, cfg, n_item, bs_steps)
+        return (W, H, accW, accH, an + a_n.astype(jnp.int32),
+                ad + a_d.astype(jnp.int32)), None
+
+    init = (W, H, accW, accH, jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32))
+    (W, H, accW, accH, auc_n, auc_d), _ = jax.lax.scan(step, init, keys)
+    return W, H, accW, accH, auc_n, auc_d
+
+
 class RankMF(MatrixFactorizationRecommender):
     """Pairwise-ranking MF with optional user/item side features."""
 
@@ -295,19 +315,20 @@ class RankMF(MatrixFactorizationRecommender):
 
         W, H = self.user_features_embeddings, self.item_features_embeddings
         accW, accH = self._accW, self._accH
-        # accumulate the AUC counters on device; a per-batch scalar readback
-        # would serialize every dispatch through the host
-        auc_n = jnp.zeros((), jnp.int32)
-        auc_d = jnp.zeros((), jnp.int32)
-        for b in range(n_batches):
+        # fixed-size scanned chunks: one compilation regardless of n_iter,
+        # dispatch overhead amortized 8x (n_batches rounds up)
+        CHUNK = 8
+        n_chunks = -(-n_batches // CHUNK)
+        auc_n = auc_d = 0
+        for _ in range(n_chunks):
             self._key, sub = jax.random.split(self._key)
-            (W, H, accW, accH, an, ad, nf, nt) = _rankmf_batch(
-                W, H, accW, accH, sub, flat_idx, indptr, row_nnz, uf, itf,
+            keys = jax.random.split(sub, CHUNK)
+            (W, H, accW, accH, an, ad) = _rankmf_epoch(
+                W, H, accW, accH, keys, flat_idx, indptr, row_nnz, uf, itf,
                 self.learning_rate, self.gamma, self.lambda_user,
                 self.lambda_item_positive, self.lambda_item_negative,
                 self.margin, cfg, n_item, bs_steps)
-            auc_n = auc_n + an
-            auc_d = auc_d + ad
+            auc_n, auc_d = an, ad  # last chunk's counters (freshest estimate)
         self.auc_history.append(int(auc_n) / max(int(auc_d), 1))
         logger.info("RankMF: %d updates, AUC~%.3f", n_batches * S,
                     self.auc_history[-1])
