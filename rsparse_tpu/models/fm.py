@@ -160,6 +160,7 @@ class FactorizationMachine:
         yd = jnp.asarray(y, self.dtype)
         wd = jnp.asarray(weights, self.dtype)
         y_hat = np.empty(n_rows, np.float64)
+        outs = []  # defer device->host reads so dispatches pipeline
         for b in br.buckets:
             rid = jnp.minimum(b.row_ids, n_rows - 1)
             (self.w0, self.acc_w0, self.w, self.v, self.acc_w, self.acc_v,
@@ -170,7 +171,9 @@ class FactorizationMachine:
                 self.lambda_w, self.lambda_v,
                 family=self.family_code, intercept=self.intercept,
                 do_update=do_update)
-            rows = np.asarray(b.row_ids)
+            outs.append((b.row_ids, yh))
+        for row_ids, yh in outs:
+            rows = np.asarray(row_ids)
             keep = rows < n_rows
             y_hat[rows[keep]] = np.asarray(yh, np.float64)[keep]
         return y_hat

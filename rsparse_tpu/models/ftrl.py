@@ -149,6 +149,7 @@ class FTRL:
         y_hat = np.empty(n_rows, np.float64)
         yd = jnp.asarray(y, self.dtype)
         wd = jnp.asarray(weights, self.dtype)
+        outs = []  # defer device->host reads so dispatches pipeline
         for b in br.buckets:
             self._key, sub = jax.random.split(self._key)
             rid = jnp.minimum(b.row_ids, n_rows - 1)
@@ -158,7 +159,9 @@ class FTRL:
                 self.learning_rate, self.learning_rate_decay,
                 self._l1, self._l2, self.dropout,
                 family=self.family_code, do_update=do_update)
-            rows = np.asarray(b.row_ids)
+            outs.append((b.row_ids, yh))
+        for row_ids, yh in outs:
+            rows = np.asarray(row_ids)
             keep = rows < n_rows
             y_hat[rows[keep]] = np.asarray(yh, np.float64)[keep]
         return y_hat
