@@ -28,15 +28,135 @@ NNLS_EPS = 1e-16
 def batched_spd_solve(lhs: jax.Array, rhs: jax.Array) -> jax.Array:
     """Solve ``lhs @ x = rhs`` for a batch of SPD systems.
 
-    lhs: (B, d, d), rhs: (B, d) -> (B, d).  Batched Cholesky + two batched
-    triangular solves; XLA maps these onto the MXU natively.
+    lhs: (B, d, d), rhs: (B, d) -> (B, d).  Uses the blocked batched
+    Cholesky for larger batches/dims (XLA's ``lax.linalg.cholesky`` +
+    triangular_solve lower to scalar code on TPU, ~50x off); small problems
+    keep the library path.
     """
+    B, d = lhs.shape[0], lhs.shape[-1]
+    if B * d * d >= 1 << 16 and d >= 16:
+        return batched_spd_solve_blocked(lhs, rhs)
     chol = lax.linalg.cholesky(lhs)
     y = lax.linalg.triangular_solve(
         chol, rhs[..., None], left_side=True, lower=True)
     x = lax.linalg.triangular_solve(
         chol, y, left_side=True, lower=True, transpose_a=True)
     return x[..., 0]
+
+
+def _chol_panel(A: jax.Array) -> jax.Array:
+    """Unblocked Cholesky of a (B, n, n) SPD panel via n masked rank-1
+    sweeps (vectorized over the batch; n is small, e.g. 32)."""
+    n = A.shape[-1]
+    rows = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+
+    def body(j, A):
+        piv = jnp.sqrt(jnp.maximum(A[:, j, j], 0.0))       # (B,)
+        safe = jnp.where(piv > 0, piv, 1.0)
+        col = A[:, :, j] / safe[:, None]                   # (B, n)
+        # write column j (rows >= j), zero above-diagonal of column j
+        colmask = (rows >= j) & (cols == j)
+        A = jnp.where(colmask[None], col[:, :, None] *
+                      jnp.ones((1, 1, n), A.dtype), A)
+        # trailing update: rows>j, cols>j
+        trail = (rows > j) & (cols > j)
+        upd = col[:, :, None] * col[:, None, :]
+        A = A - jnp.where(trail[None], upd, 0.0)
+        return A
+
+    A = lax.fori_loop(0, n, body, A)
+    # keep only the lower triangle
+    return jnp.where((rows >= cols)[None], A, 0.0)
+
+
+def _trsm_lower(L: jax.Array, Bmat: jax.Array) -> jax.Array:
+    """Solve X @ L.T = B for X, with L (B, n, n) lower-triangular and
+    B (B, m, n): forward substitution over the n columns."""
+    n = L.shape[-1]
+
+    def body(j, X):
+        # x_j = (b_j - sum_{k<j} X_k * L[j, k]) / L[j, j]
+        lrow = L[:, j, :]                                  # (B, n)
+        kmask = (lax.broadcasted_iota(jnp.int32, (n,), 0) < j)
+        acc = jnp.einsum("bmn,bn->bm", X,
+                         jnp.where(kmask[None], lrow, 0.0))
+        ljj = lrow[:, j]
+        xj = (Bmat[:, :, j] - acc) / jnp.where(ljj > 0, ljj, 1.0)[:, None]
+        return X.at[:, :, j].set(xj)
+
+    return lax.fori_loop(0, n, body, jnp.zeros_like(Bmat))
+
+
+def batched_spd_solve_blocked(lhs: jax.Array, rhs: jax.Array,
+                              block: int = 32) -> jax.Array:
+    """MXU-friendly blocked batched Cholesky solve.
+
+    Right-looking blocked factorization: per panel a masked rank-1 sweep
+    (VPU, batch-vectorized), off-diagonal blocks by forward substitution,
+    trailing updates as batched matmuls (MXU).  Dimensions are padded to a
+    block multiple with an identity diagonal (solution unchanged).
+    """
+    B, d = lhs.shape[0], lhs.shape[-1]
+    D = -(-d // block) * block
+    dt = lhs.dtype
+    if D != d:
+        pad = D - d
+        eye = jnp.eye(D, dtype=dt)[None, d:, :]
+        lhs = jnp.concatenate([
+            jnp.concatenate([lhs, jnp.zeros((B, d, pad), dt)], axis=2),
+            jnp.broadcast_to(eye, (B, pad, D))], axis=1)
+        rhs = jnp.concatenate([rhs, jnp.zeros((B, pad), dt)], axis=1)
+
+    nb = D // block
+    A = lhs
+
+    # factorize: L overwrites the lower triangle of A, block column by
+    # block column
+    for k in range(nb):
+        s = k * block
+        panel = _chol_panel(A[:, s:s + block, s:s + block])
+        A = A.at[:, s:s + block, s:s + block].set(panel)
+        if k + 1 < nb:
+            below = A[:, s + block:, s:s + block]            # (B, m, bs)
+            Lb = _trsm_lower(panel, below)
+            A = A.at[:, s + block:, s:s + block].set(Lb)
+            # trailing SPD update: A22 -= Lb @ Lb.T (batched MXU matmul)
+            upd = jnp.einsum("bik,bjk->bij", Lb, Lb,
+                             preferred_element_type=dt)
+            A = A.at[:, s + block:, s + block:].add(-upd)
+
+    # forward substitution L y = rhs, block by block
+    y = jnp.zeros((B, D), dt)
+    for k in range(nb):
+        s = k * block
+        acc = rhs[:, s:s + block]
+        if k > 0:
+            acc = acc - jnp.einsum(
+                "bij,bj->bi", A[:, s:s + block, :s], y[:, :s],
+                preferred_element_type=dt)
+        yk = _trsm_lower(A[:, s:s + block, s:s + block],
+                         acc[:, None, :])[:, 0, :]
+        y = y.at[:, s:s + block].set(yk)
+
+    # back substitution L' x = y, block by block (reverse)
+    x = jnp.zeros((B, D), dt)
+    for k in reversed(range(nb)):
+        s = k * block
+        acc = y[:, s:s + block]
+        if k + 1 < nb:
+            # contribution of already-solved lower blocks through L'
+            acc = acc - jnp.einsum(
+                "bji,bj->bi", A[:, s + block:, s:s + block],
+                x[:, s + block:], preferred_element_type=dt)
+        # solve L_kk' x_k = acc  (upper-triangular solve via reversal)
+        Lkk = A[:, s:s + block, s:s + block]
+        rev = Lkk[:, ::-1, ::-1]          # reversed L' is lower-triangular
+        xk = _trsm_lower(jnp.swapaxes(rev, 1, 2),
+                         acc[:, ::-1][:, None, :])[:, 0, ::-1]
+        x = x.at[:, s:s + block].set(xk)
+
+    return x[:, :d]
 
 
 def batched_cg(
