@@ -88,6 +88,28 @@ def _trsm_lower(L: jax.Array, Bmat: jax.Array) -> jax.Array:
     return lax.fori_loop(0, n, body, jnp.zeros_like(Bmat))
 
 
+def _trsm_lower_t(L: jax.Array, Bmat: jax.Array) -> jax.Array:
+    """Solve X @ L = B for X, with L (B, n, n) lower-triangular and
+    B (B, m, n): backward substitution over the n columns (equivalently
+    solves ``L.T x = b`` per row of B).  Written with a descending
+    ``fori_loop`` index rather than array reversal — ``lax.rev`` on this
+    pattern crashes XLA:CPU's AlgebraicSimplifier (HandleReverse)."""
+    n = L.shape[-1]
+
+    def body(i, X):
+        j = n - 1 - i
+        # x_j = (b_j - sum_{k>j} X_k * L[k, j]) / L[j, j]
+        lcol = L[:, :, j]                                  # (B, n)
+        kmask = (lax.broadcasted_iota(jnp.int32, (n,), 0) > j)
+        acc = jnp.einsum("bmn,bn->bm", X,
+                         jnp.where(kmask[None], lcol, 0.0))
+        ljj = L[:, j, j]
+        xj = (Bmat[:, :, j] - acc) / jnp.where(ljj > 0, ljj, 1.0)[:, None]
+        return X.at[:, :, j].set(xj)
+
+    return lax.fori_loop(0, n, body, jnp.zeros_like(Bmat))
+
+
 def batched_spd_solve_blocked(lhs: jax.Array, rhs: jax.Array,
                               block: int = 32) -> jax.Array:
     """MXU-friendly blocked batched Cholesky solve.
@@ -149,11 +171,9 @@ def batched_spd_solve_blocked(lhs: jax.Array, rhs: jax.Array,
             acc = acc - jnp.einsum(
                 "bji,bj->bi", A[:, s + block:, s:s + block],
                 x[:, s + block:], preferred_element_type=dt)
-        # solve L_kk' x_k = acc  (upper-triangular solve via reversal)
+        # solve L_kk' x_k = acc  (backward substitution; no lax.rev)
         Lkk = A[:, s:s + block, s:s + block]
-        rev = Lkk[:, ::-1, ::-1]          # reversed L' is lower-triangular
-        xk = _trsm_lower(jnp.swapaxes(rev, 1, 2),
-                         acc[:, ::-1][:, None, :])[:, 0, ::-1]
+        xk = _trsm_lower_t(Lkk, acc[:, None, :])[:, 0, :]
         x = x.at[:, s:s + block].set(xk)
 
     return x[:, :d]

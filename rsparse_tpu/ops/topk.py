@@ -4,9 +4,10 @@ The reference computes one BLAS row-vector product per user and streams it
 through a size-k min-heap with per-user ``not_recommend`` masking and a
 global exclude set (reference src/matrix_top_product.cpp:20-102, R wrapper
 ``find_top_product`` R/utils.R:31-59).  On TPU the same result comes from a
-chunked dense matmul on the MXU — ``scores = U_chunk @ V`` — with masks
-applied as ``-inf`` scatters and ``lax.top_k`` per chunk.  The item axis
-stays resident in device memory; the user axis is streamed in chunks.
+single jitted ``lax.scan`` over user chunks: a dense MXU matmul per chunk
+(``scores = U_chunk @ V``), masks applied as ``-inf`` scatters from
+device-resident padded COO, and ``lax.top_k``.  Everything is staged to the
+device once — per-chunk host round-trips would dominate otherwise.
 """
 
 from __future__ import annotations
@@ -22,27 +23,54 @@ import scipy.sparse as sp
 NEG_INF = float(np.finfo(np.float32).min)
 
 
+def exact_top_k(scores: jax.Array, k: int, group: int = 512):
+    """Exact top-k via two stages: per-group top-k then a merge top-k.
+
+    ``lax.top_k`` over a long item axis lowers to a full sort on TPU; the
+    global top-k is contained in the union of per-group top-k's, so sorting
+    ``n/group`` short groups + one (n/group * k)-wide merge is exact and an
+    order of magnitude cheaper.  scores: (..., n) -> ((..., k), (..., k)).
+    """
+    n = scores.shape[-1]
+    if n <= max(2 * group, 2 * k):
+        s, i = jax.lax.top_k(scores, k)
+        return s, i.astype(jnp.int32)
+    G = -(-n // group)
+    pad = G * group - n
+    if pad:
+        scores = jnp.concatenate(
+            [scores, jnp.full(scores.shape[:-1] + (pad,), NEG_INF,
+                              scores.dtype)], axis=-1)
+    kk = min(k, group)
+    gs, gi = jax.lax.top_k(
+        scores.reshape(scores.shape[:-1] + (G, group)), kk)
+    base = (jnp.arange(G, dtype=jnp.int32) * group)[:, None]
+    gi = gi.astype(jnp.int32) + base                    # globalize
+    flat_s = gs.reshape(scores.shape[:-1] + (G * kk,))
+    flat_i = gi.reshape(scores.shape[:-1] + (G * kk,))
+    ms, mi = jax.lax.top_k(flat_s, k)
+    return ms, jnp.take_along_axis(flat_i, mi, axis=-1)
+
+
 @partial(jax.jit, static_argnames=("k",))
-def _topk_chunk(
-    x_chunk: jax.Array,       # (C, R)
-    y: jax.Array,             # (R, n_items)
-    mask_rows: jax.Array,     # (M,) int32 local row of masked entry (C => pad)
-    mask_cols: jax.Array,     # (M,) int32 item of masked entry
-    exclude_mask: jax.Array,  # (n_items,) bool
-    glob_mean: jax.Array,     # scalar
-    k: int,
-) -> Tuple[jax.Array, jax.Array]:
-    scores = jnp.dot(x_chunk, y, preferred_element_type=jnp.float32)
-    scores = scores + glob_mean
-    scores = jnp.where(exclude_mask[None, :], NEG_INF, scores)
-    # scatter the per-user not_recommend entries; padding rows point at an
-    # extra dummy row C which is dropped by the slice below
-    padded = jnp.concatenate(
-        [scores, jnp.zeros((1, scores.shape[1]), scores.dtype)], axis=0)
-    padded = padded.at[mask_rows, mask_cols].set(NEG_INF)
-    scores = padded[:-1]
-    top_scores, top_idx = jax.lax.top_k(scores, k)
-    return top_scores, top_idx.astype(jnp.int32)
+def _topk_scan(x, y, mask_rows, mask_cols, exclude_mask, glob_mean, k: int):
+    """x: (n_chunks, C, R); mask_rows/cols: (n_chunks, M) chunk-local rows
+    (C => padding) and item cols.  Returns ((n_chunks, C, k) scores, idx)."""
+    C = x.shape[1]
+
+    def chunk(_, args):
+        xc, mrows, mcols = args
+        scores = jnp.dot(xc, y, preferred_element_type=jnp.float32)
+        scores = scores + glob_mean
+        scores = jnp.where(exclude_mask[None, :], NEG_INF, scores)
+        padded = jnp.concatenate(
+            [scores, jnp.zeros((1, scores.shape[1]), scores.dtype)], axis=0)
+        padded = padded.at[mrows, mcols].set(NEG_INF)
+        ts, ti = exact_top_k(padded[:C], k)
+        return None, (ts, ti)
+
+    _, (ts, ti) = jax.lax.scan(chunk, None, (x, mask_rows, mask_cols))
+    return ts, ti
 
 
 def top_product(
@@ -61,11 +89,13 @@ def top_product(
     Same contract as the reference ``top_product``
     (src/matrix_top_product.cpp:20-102) minus R's 1-based indexing.
     """
-    x = jnp.asarray(x)
-    y = jnp.asarray(y)
+    x = np.asarray(x, np.float32)
+    y = jnp.asarray(y, jnp.float32)
     n_users, n_items = x.shape[0], y.shape[1]
     if k > n_items:
         raise ValueError(f"k={k} > n_items={n_items}")
+    if n_users == 0:
+        return (np.empty((0, k), np.int32), np.empty((0, k), np.float32))
 
     exclude_mask = np.zeros((n_items,), bool)
     if exclude is not None and len(exclude) > 0:
@@ -73,7 +103,6 @@ def top_product(
         if exclude.max() >= n_items:
             raise ValueError("some items_exclude indices are >= number of items")
         exclude_mask[exclude] = True
-    exclude_mask = jnp.asarray(exclude_mask)
 
     nr = None
     if not_recommend is not None:
@@ -81,40 +110,35 @@ def top_product(
         if nr.shape != (n_users, n_items):
             raise ValueError("not_recommend shape mismatch")
 
-    # fixed mask-pad length across chunks => single XLA compilation
+    C = min(user_chunk, max(n_users, 8))
+    n_chunks = -(-n_users // C)
+
+    # fixed per-chunk mask padding (one compile per (shapes, k))
     if nr is not None and nr.nnz > 0:
         row_nnz = np.diff(nr.indptr)
-        max_mask = 0
-        for s in range(0, n_users, user_chunk):
-            max_mask = max(max_mask, int(row_nnz[s:s + user_chunk].sum()))
-        max_mask = max(max_mask, 1)
+        max_mask = max(int(np.add.reduceat(
+            row_nnz, np.arange(0, n_users, C)).max()), 1)
     else:
         max_mask = 1
 
-    C = min(user_chunk, max(n_users, 1))
-    out_idx = np.empty((n_users, k), np.int32)
-    out_scores = np.empty((n_users, k), np.float32)
-    gm = jnp.asarray(glob_mean, jnp.float32)
-
-    for s in range(0, n_users, C):
+    xs = np.zeros((n_chunks, C, x.shape[1]), np.float32)
+    mrows = np.full((n_chunks, max_mask), C, np.int32)
+    mcols = np.zeros((n_chunks, max_mask), np.int32)
+    for ci, s in enumerate(range(0, n_users, C)):
         e = min(s + C, n_users)
-        xc = x[s:e]
-        if e - s < C:  # pad the tail chunk to the static shape
-            xc = jnp.concatenate(
-                [xc, jnp.zeros((C - (e - s), x.shape[1]), x.dtype)], axis=0)
-        mrows = np.full((max_mask,), C, np.int32)
-        mcols = np.zeros((max_mask,), np.int32)
+        xs[ci, : e - s] = x[s:e]
         if nr is not None and nr.nnz > 0:
             p1, p2 = nr.indptr[s], nr.indptr[e]
             m = p2 - p1
             if m > 0:
-                rows = np.repeat(
+                mrows[ci, :m] = np.repeat(
                     np.arange(s, e, dtype=np.int32) - s,
                     np.diff(nr.indptr[s:e + 1]))
-                mrows[:m] = rows
-                mcols[:m] = nr.indices[p1:p2]
-        ts, ti = _topk_chunk(xc, y, jnp.asarray(mrows), jnp.asarray(mcols),
-                             exclude_mask, gm, k)
-        out_scores[s:e] = np.asarray(ts)[: e - s]
-        out_idx[s:e] = np.asarray(ti)[: e - s]
-    return out_idx, out_scores
+                mcols[ci, :m] = nr.indices[p1:p2]
+
+    ts, ti = _topk_scan(jnp.asarray(xs), y, jnp.asarray(mrows),
+                        jnp.asarray(mcols), jnp.asarray(exclude_mask),
+                        jnp.float32(glob_mean), k)
+    ts = np.asarray(ts).reshape(n_chunks * C, k)[:n_users]
+    ti = np.asarray(ti).reshape(n_chunks * C, k)[:n_users]
+    return ti, ts
