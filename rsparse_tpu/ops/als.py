@@ -137,14 +137,19 @@ def _solve_bucket_implicit(
 
     if (cfg.use_pallas and cfg.solver == CONJUGATE_GRADIENT
             and not cfg.with_biases and sdt == jnp.float32):
-        from .pallas_cg import fused_cg_implicit, fused_cg_supported
-        if fused_cg_supported(bucket.pad_len, Xg.shape[-1]):
-            rhs0 = rhs_init if (cfg.use_global_bias and rhs_init is not None
-                                ) else None
-            y, loss = fused_cg_implicit(
+        rhs0 = rhs_init if (cfg.use_global_bias and rhs_init is not None
+                            ) else None
+        from .pallas_gram import gram_cg_implicit, gram_cg_supported
+        B, L, d = Xg.shape
+        if gram_cg_supported(B, L, d):
+            return gram_cg_implicit(
                 XtX, rhs0, Xg, bucket.values, bucket.nnz,
                 x_init, lam, g, cg_steps=cfg.cg_steps)
-            return y, loss
+        from .pallas_cg import fused_cg_implicit, fused_cg_supported
+        if fused_cg_supported(bucket.pad_len, d):
+            return fused_cg_implicit(
+                XtX, rhs0, Xg, bucket.values, bucket.nnz,
+                x_init, lam, g, cg_steps=cfg.cg_steps)
 
     c_eff = cm if offs is None else cm - cm1 * offs
     rhs = jnp.einsum("bld,bl->bd", Xg, c_eff.astype(gdt),

@@ -70,13 +70,23 @@ class BucketedRows:
         return [(b.batch, b.pad_len) for b in self.buckets]
 
 
-def _next_pow2(x: np.ndarray) -> np.ndarray:
-    x = np.maximum(x, 1)
-    return (2 ** np.ceil(np.log2(x))).astype(np.int64)
-
-
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def _length_grid(min_len: int, max_len: int, ratio: float,
+                 quantum: int = 8) -> np.ndarray:
+    """Geometric grid of padded row lengths: each step grows by ``ratio``
+    (rounded up to ``quantum``; lengths past 256 snap to multiples of 128 so
+    Pallas sweep kernels can tile the L axis).  ``ratio=2`` reproduces
+    power-of-two bucketing; the default 1.25 cuts average padding waste from
+    ~1.4x to ~1.1x at the cost of more distinct (B, L) program shapes
+    (amortized by the persistent compilation cache)."""
+    g = [min_len]
+    while g[-1] < max_len:
+        q = quantum if g[-1] < 256 else max(quantum, 128)
+        g.append(max(_round_up(int(g[-1] * ratio), q), g[-1] + q))
+    return np.asarray(g, dtype=np.int64)
 
 
 def bucket_rows(
@@ -85,15 +95,17 @@ def bucket_rows(
     *,
     min_len: int = 8,
     row_align: int = 8,
-    max_buckets: int = 10,
+    max_buckets: int = 24,
+    length_ratio: float = 1.25,
     include_empty: bool = False,
     max_elems: Optional[int] = 1 << 22,
 ) -> BucketedRows:
     """Build a :class:`BucketedRows` from a scipy sparse matrix.
 
-    Rows are grouped by ``next_pow2(nnz)`` (clamped to ``min_len``); the
-    number of distinct bucket lengths is capped at ``max_buckets`` by merging
-    the least-populated lengths upward, bounding the number of distinct XLA
+    Rows are grouped by padded length from a geometric grid with step
+    ``length_ratio`` (2.0 = classic power-of-two); the number of distinct
+    bucket lengths is capped at ``max_buckets`` by merging the
+    least-populated lengths upward, bounding the number of distinct XLA
     compilations while keeping padding waste geometric.  Buckets whose
     ``B * L`` footprint exceeds ``max_elems`` are split into batch chunks so
     the gathered ``(B, L, rank)`` factor blocks stay within device memory.
@@ -112,7 +124,9 @@ def bucket_rows(
     if active.size == 0:
         return BucketedRows((), n_rows, n_cols, int(csr.nnz), empty)
 
-    lengths = np.maximum(_next_pow2(row_nnz[active]), min_len)
+    act_nnz = np.maximum(row_nnz[active], 1)
+    grid = _length_grid(min_len, int(act_nnz.max()), length_ratio)
+    lengths = grid[np.searchsorted(grid, act_nnz)]
 
     # Cap the number of distinct bucket lengths: repeatedly merge the
     # smallest-population length into the next larger one.
