@@ -62,7 +62,8 @@ def synth_ml20m_like(n_users=N_USERS, n_items=N_ITEMS, mean_nnz=MEAN_NNZ,
 
 
 def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
-                  solver="conjugate_gradient"):
+                  solver="conjugate_gradient", use_pallas=False,
+                  max_buckets=24):
     """Sustained user-updates/s: ``reps`` chained warm sweeps, one final
     scalar readback forcing the dependency chain."""
     import jax
@@ -78,7 +79,8 @@ def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
 
     n_users, n_items = csr.shape
     t0 = time.time()
-    ui = bucket_rows(csr, jnp.float32, max_buckets=10, max_elems=1 << 21)
+    ui = bucket_rows(csr, jnp.float32, max_buckets=max_buckets,
+                     max_elems=1 << 21)
     padded = sum(B * L for B, L in ui.shapes)
     log(f"bucket build: {time.time()-t0:.1f}s {len(ui.shapes)} buckets, "
         f"padding waste {padded/max(csr.nnz,1):.2f}x")
@@ -86,7 +88,7 @@ def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
     U = jnp.asarray(rng.standard_normal((n_users, rank)) * 0.01, jnp.float32)
     V = jnp.asarray(rng.standard_normal((n_items, rank)) * 0.01, jnp.float32)
     cfg = ALSConfig(feedback="implicit", solver=solver_code(solver),
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype, use_pallas=use_pallas)
     sweep = partial(jax.jit, static_argnames=("cfg",))(wrmf_sweep)
 
     t0 = time.time()

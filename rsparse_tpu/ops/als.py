@@ -202,6 +202,18 @@ def _solve_bucket_explicit(
     lhs = Xg' Xg + lambda_use I,  rhs = Xg' (r - x_bias),
     lambda_use = lambda * nnz when dynamic (wrmf_explicit.hpp:78).
     """
+    if (cfg.use_pallas and cfg.solver == CONJUGATE_GRADIENT
+            and not cfg.with_biases and sdt == jnp.float32):
+        from .pallas_gram import gram_cg_explicit, gram_cg_supported
+        B, L = bucket.col_idx.shape
+        d = src_act.shape[1]
+        if gram_cg_supported(B, L, d):
+            gdt = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else sdt)
+            Xg = src_act[bucket.col_idx].astype(gdt)
+            return gram_cg_explicit(
+                Xg, bucket.values, bucket.nnz, x_init, lam,
+                cg_steps=cfg.cg_steps, dynamic_lambda=cfg.dynamic_lambda)
+
     mask = bucket.mask()
     Xg = src_act[bucket.col_idx].astype(sdt) * mask[..., None]
     conf = jnp.where(mask, bucket.values.astype(sdt), 0.0)

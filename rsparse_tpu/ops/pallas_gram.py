@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .solvers import CG_TOL
 
-__all__ = ["gram_cg_supported", "gram_cg_implicit"]
+__all__ = ["gram_cg_supported", "gram_cg_implicit", "gram_cg_explicit"]
 
 
 def gram_cg_supported(B: int, L: int, d: int) -> bool:
@@ -216,4 +216,132 @@ def gram_cg_implicit(
       nnz.astype(jnp.int32)[:, None], x0.astype(jnp.float32),
       jnp.asarray(lam, jnp.float32).reshape(1, 1),
       jnp.asarray(g, jnp.float32).reshape(1, 1))
+    return out, loss[:, 0]
+
+
+def _gram_explicit_kernel(xg_ref, c_ref, nnz_ref, x0_ref, lam_ref,
+                          out_ref, loss_ref, g0_acc, vec_acc,
+                          *, cg_steps: int, dynamic_lambda: bool, TL: int):
+    """Explicit-feedback variant: lhs = Xg' Xg + lam_use I, rhs = Xg' r.
+
+    Math of ``als_explicit`` / ``cg_solver_explicit`` (reference
+    inst/include/wrmf_explicit.hpp:9-31,66-132); ``lam_use = lam * nnz``
+    when dynamic (wrmf_explicit.hpp:78)."""
+    TB, _, d = xg_ref.shape
+    nL = pl.num_programs(1)
+    j = pl.program_id(1)
+    f32 = jnp.float32
+
+    @pl.when(j == 0)
+    def _():
+        g0_acc[:] = jnp.zeros_like(g0_acc)
+        vec_acc[:] = jnp.zeros_like(vec_acc)
+
+    if TL == c_ref.shape[1]:
+        c = c_ref[:].astype(f32)
+    else:
+        c = c_ref[:, pl.ds(pl.multiple_of(j * TL, 128), TL)].astype(f32)
+    lidx = jax.lax.broadcasted_iota(jnp.int32, (TB, TL), 1) + j * TL
+    mask = (lidx < nnz_ref[:]).astype(f32)
+    conf = c * mask
+
+    Xg = xg_ref[:]
+    Xf = Xg.astype(f32)
+    Xm = (Xf * mask[..., None]).astype(Xg.dtype)
+    dn = (((1,), (1,)), ((0,), (0,)))
+    g0_acc[:] += jax.lax.dot_general(Xm, Xm, dn, preferred_element_type=f32)
+    # vec rows: [rhs = Xg' conf | sum conf^2 broadcast]
+    vec_acc[0] += jnp.sum(Xf * conf[..., None], axis=1)
+    vec_acc[1] += jnp.broadcast_to(
+        jnp.sum(conf * conf, axis=1, keepdims=True), (TB, d))
+
+    @pl.when(j == nL - 1)
+    def _():
+        lam = lam_ref[0, 0]
+        nnzf = nnz_ref[:].astype(f32)                      # (TB, 1)
+        if dynamic_lambda:
+            lam_use = lam * nnzf[:, 0]
+        else:
+            lam_use = jnp.full((TB,), lam, f32)
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)).astype(f32)
+        A = g0_acc[:] + lam_use[:, None, None] * eye[None]
+        rhs = vec_acc[0]
+
+        def a_dot(p):
+            return jnp.sum(A * p[:, None, :], axis=2)
+
+        x = x0_ref[:].astype(f32)
+        res = rhs - a_dot(x)
+        p = res
+        rsold = jnp.sum(res * res, axis=1)
+        for _ in range(cg_steps):
+            live = rsold >= CG_TOL
+            Ap = a_dot(p)
+            pAp = jnp.sum(p * Ap, axis=1)
+            alpha = jnp.where(live,
+                              rsold / jnp.where(pAp == 0, 1.0, pAp), 0.0)
+            x = x + alpha[:, None] * p
+            res = res - alpha[:, None] * Ap
+            rsnew = jnp.sum(res * res, axis=1)
+            beta = jnp.where(live,
+                             rsnew / jnp.where(rsold == 0, 1.0, rsold), 0.0)
+            p = res + beta[:, None] * p
+            rsold = jnp.where(live, rsnew, rsold)
+
+        out_ref[:] = x.astype(out_ref.dtype)
+        # loss identity: sum (conf - y.x)^2 = sum conf^2 - 2 y.rhs + y'G0 y
+        yGy = jnp.sum(jnp.sum(g0_acc[:] * x[:, None, :], axis=2) * x, axis=1)
+        le = (vec_acc[1][:, 0] - 2.0 * jnp.sum(x * rhs, axis=1) + yGy
+              + lam_use * jnp.sum(x * x, axis=1))
+        loss_ref[:] = le[:, None]
+
+
+@partial(jax.jit, static_argnames=("cg_steps", "dynamic_lambda"))
+def gram_cg_explicit(
+    Xg: jax.Array,                   # (B, L, d) gathered source factors
+    conf: jax.Array,                 # (B, L) ratings
+    nnz: jax.Array,                  # (B,) int32
+    x0: jax.Array,                   # (B, d) warm start
+    lam: jax.Array,
+    cg_steps: int = 3,
+    dynamic_lambda: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Single-HBM-pass batched explicit-feedback Gram-CG solve + loss."""
+    B, L, d = Xg.shape
+    TB, TL = _pick_tiles(B, L, d)
+    grid = (B // TB, L // TL)
+    kernel = partial(_gram_explicit_kernel, cg_steps=cg_steps,
+                     dynamic_lambda=dynamic_lambda, TL=TL)
+    out, loss = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TB, TL, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),           # Xg
+            pl.BlockSpec((TB, L), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),           # conf (full row)
+            pl.BlockSpec((TB, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),           # nnz
+            pl.BlockSpec((TB, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),           # x0
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),           # lam
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, d), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TB, d, d), jnp.float32),             # G0
+            pltpu.VMEM((2, TB, d), jnp.float32),             # rhs / sum c^2
+        ],
+    )(Xg, conf, nnz.astype(jnp.int32)[:, None], x0.astype(jnp.float32),
+      jnp.asarray(lam, jnp.float32).reshape(1, 1))
     return out, loss[:, 0]

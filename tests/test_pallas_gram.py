@@ -96,3 +96,42 @@ def test_supported_predicate():
     assert not pg.gram_cg_supported(12, 64, 128)   # batch not mult of 8
     assert not pg.gram_cg_supported(16, 300, 128)  # long L not 128-aligned
     assert not pg.gram_cg_supported(16, 64, 512)   # rank too large
+
+
+def _xla_explicit_reference(Xg, c, nnz, x0, lam, steps, dynamic):
+    B, L, r = Xg.shape
+    mask = np.arange(L)[None, :] < nnz[:, None]
+    Xm = Xg * mask[..., None]
+    conf = np.where(mask, c, 0.0)
+    lam_use = lam * nnz.astype(np.float32) if dynamic else np.full(B, lam,
+                                                                   np.float32)
+    rhs = np.einsum("blr,bl->br", Xm, conf)
+
+    def matvec(p):
+        t = jnp.einsum("blr,br->bl", Xm, p)
+        return jnp.einsum("bl,blr->br", t, Xm) + lam_use[:, None] * p
+
+    y = np.asarray(batched_cg(matvec, jnp.asarray(rhs), jnp.asarray(x0),
+                              steps))
+    pred = np.einsum("blr,br->bl", Xm, y)
+    loss = ((conf - pred) ** 2 * mask).sum(1) + lam_use * (y ** 2).sum(1)
+    return y, loss
+
+
+@pytest.mark.parametrize("dynamic", [False, True])
+def test_gram_cg_explicit_matches_xla(dynamic):
+    rng = np.random.default_rng(3)
+    B, L, r = 16, 40, 24
+    src = rng.standard_normal((80, r)).astype(np.float32) * 0.2
+    Xg = src[rng.integers(0, 80, (B, L))]
+    c = (1.0 + 4 * rng.random((B, L))).astype(np.float32)
+    nnz = rng.integers(1, L, (B,)).astype(np.int32)
+    nnz[0] = 0
+    x0 = (rng.standard_normal((B, r)) * 0.1).astype(np.float32)
+    lam = 0.4
+    x, loss = pg.gram_cg_explicit(
+        jnp.asarray(Xg), jnp.asarray(c), jnp.asarray(nnz), jnp.asarray(x0),
+        lam, cg_steps=3, dynamic_lambda=dynamic)
+    x_ref, l_ref = _xla_explicit_reference(Xg, c, nnz, x0, lam, 3, dynamic)
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(loss), l_ref, rtol=2e-3, atol=1e-4)
