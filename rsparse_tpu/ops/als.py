@@ -68,9 +68,12 @@ class ALSConfig:
     #: dtype of the gathered factor blocks fed to the MXU ("bfloat16" halves
     #: HBM traffic of the hot gathers; accumulation stays float32)
     compute_dtype: str = "float32"
-    #: route eligible implicit-CG buckets through the fused Pallas kernel
-    #: (ops/pallas_cg.py); experimental — the XLA path is the tuned default
+    #: route eligible CG buckets through the fused Gram-form Pallas kernel
+    #: (ops/pallas_gram.py) when the padded row length is at least
+    #: ``pallas_min_len`` (below the crossover XLA's streaming CG wins;
+    #: above it the single-HBM-pass Gram kernel wins)
     use_pallas: bool = False
+    pallas_min_len: int = 256
 
 
 def solver_code(name: str) -> int:
@@ -111,12 +114,45 @@ def _solve_bucket_implicit(
     g: jax.Array,                  # global bias (0 when unused)
     cfg: ALSConfig,
     sdt,
+    hot_W: Optional[jax.Array] = None,   # (B, H) dense hot confidences
+    V_hot: Optional[jax.Array] = None,   # (H, d) hot source factors
 ) -> Tuple[jax.Array, jax.Array]:
     """One bucket of per-entity implicit-feedback normal-equation solves.
 
     Math of ``als_implicit`` (reference inst/include/wrmf_implicit.hpp:91-270):
     lhs = XtX + Xg' diag(c-1) Xg,  rhs = Xg' (c - (c-1)(x_bias+g)) + rhs_init.
+
+    With a hot/cold split (sparse/device.py ``HotBlock``) the bucket holds
+    only the cold (long-tail) nnz; the head items' contributions enter as
+    dense MXU matmuls against ``hot_W``/``V_hot`` — algebraically the same
+    normal equations, partitioned by item set, with zero per-nnz gathers for
+    the head.
     """
+    if (cfg.use_pallas and cfg.solver == CONJUGATE_GRADIENT
+            and not cfg.with_biases and sdt == jnp.float32
+            and hot_W is None
+            and bucket.pad_len >= cfg.pallas_min_len):
+        # Gather in f32 — the HBM gather is row-fetch-bound and f32 rows
+        # fetch at ~2x the rate of bf16 rows; the bf16 cast for the MXU
+        # happens inside the kernel (gather_rate characterization, PERF.md).
+        rhs0 = rhs_init if (cfg.use_global_bias and rhs_init is not None
+                            ) else None
+        B, L = bucket.col_idx.shape
+        d = src_act.shape[1]
+        from .pallas_gram import gram_cg_implicit, gram_cg_supported
+        if gram_cg_supported(B, L, d):
+            Xg32 = src_act[bucket.col_idx].astype(sdt)
+            return gram_cg_implicit(
+                XtX, rhs0, Xg32, bucket.values, bucket.nnz,
+                x_init, lam, g, cg_steps=cfg.cg_steps,
+                mxu_bf16=(cfg.compute_dtype == "bfloat16"))
+        from .pallas_cg import fused_cg_implicit, fused_cg_supported
+        if fused_cg_supported(bucket.pad_len, d):
+            Xg32 = src_act[bucket.col_idx].astype(sdt)
+            return fused_cg_implicit(
+                XtX, rhs0, Xg32, bucket.values, bucket.nnz,
+                x_init, lam, g, cg_steps=cfg.cg_steps)
+
     mask = bucket.mask()
     gdt = (jnp.bfloat16 if (cfg.compute_dtype == "bfloat16"
                             and sdt == jnp.float32) else sdt)
@@ -135,34 +171,34 @@ def _solve_bucket_implicit(
         xb = None
         offs = None
 
-    if (cfg.use_pallas and cfg.solver == CONJUGATE_GRADIENT
-            and not cfg.with_biases and sdt == jnp.float32):
-        rhs0 = rhs_init if (cfg.use_global_bias and rhs_init is not None
-                            ) else None
-        from .pallas_gram import gram_cg_implicit, gram_cg_supported
-        B, L, d = Xg.shape
-        if gram_cg_supported(B, L, d):
-            return gram_cg_implicit(
-                XtX, rhs0, Xg, bucket.values, bucket.nnz,
-                x_init, lam, g, cg_steps=cfg.cg_steps)
-        from .pallas_cg import fused_cg_implicit, fused_cg_supported
-        if fused_cg_supported(bucket.pad_len, d):
-            return fused_cg_implicit(
-                XtX, rhs0, Xg, bucket.values, bucket.nnz,
-                x_init, lam, g, cg_steps=cfg.cg_steps)
-
     c_eff = cm if offs is None else cm - cm1 * offs
     rhs = jnp.einsum("bld,bl->bd", Xg, c_eff.astype(gdt),
                      preferred_element_type=sdt)
     if rhs_init is not None:
         rhs = rhs + rhs_init[None, :]
 
+    if hot_W is not None:
+        # dense head terms (no per-nnz gathers): Wc = c (0 = absent),
+        # W1 = c - 1 on present entries
+        Vh = V_hot.astype(gdt)                           # (H, d)
+        Wc = hot_W.astype(sdt)
+        W1 = jnp.where(Wc > 0, Wc - 1.0, 0.0)
+        ce_hot = Wc if offs is None else Wc - W1 * g     # per-entity bias: n/a
+        rhs = rhs + jnp.einsum("bh,hd->bd", ce_hot.astype(gdt), Vh,
+                               preferred_element_type=sdt)
+
     if cfg.solver == CONJUGATE_GRADIENT:
         def matvec(p):
             t = jnp.einsum("bld,bd->bl", Xg, p.astype(gdt),
                            preferred_element_type=sdt) * cm1
-            return p @ XtX + jnp.einsum("bl,bld->bd", t.astype(gdt), Xg,
-                                        preferred_element_type=sdt)
+            out = p @ XtX + jnp.einsum("bl,bld->bd", t.astype(gdt), Xg,
+                                       preferred_element_type=sdt)
+            if hot_W is not None:
+                th = jnp.einsum("bd,hd->bh", p.astype(gdt), Vh,
+                                preferred_element_type=sdt) * W1
+                out = out + jnp.einsum("bh,hd->bd", th.astype(gdt), Vh,
+                                       preferred_element_type=sdt)
+            return out
         y = batched_cg(matvec, rhs, x_init.astype(sdt), cfg.cg_steps)
     else:
         Xgw = (Xg.astype(sdt) * cm1[..., None]).astype(gdt)
@@ -184,6 +220,11 @@ def _solve_bucket_implicit(
     if cfg.with_biases:
         base = base - xb
     loss = jnp.einsum("bl,bl->b", cm, base * base) + lam * jnp.sum(y * y, -1)
+    if hot_W is not None:
+        pred_h = jnp.einsum("bd,hd->bh", y.astype(gdt), Vh,
+                            preferred_element_type=sdt)
+        base_h = (1.0 - g) - pred_h if cfg.use_global_bias else 1.0 - pred_h
+        loss = loss + jnp.einsum("bh,bh->b", Wc, base_h * base_h)
     return y, loss
 
 
@@ -203,16 +244,17 @@ def _solve_bucket_explicit(
     lambda_use = lambda * nnz when dynamic (wrmf_explicit.hpp:78).
     """
     if (cfg.use_pallas and cfg.solver == CONJUGATE_GRADIENT
-            and not cfg.with_biases and sdt == jnp.float32):
+            and not cfg.with_biases and sdt == jnp.float32
+            and bucket.pad_len >= cfg.pallas_min_len):
         from .pallas_gram import gram_cg_explicit, gram_cg_supported
         B, L = bucket.col_idx.shape
         d = src_act.shape[1]
         if gram_cg_supported(B, L, d):
-            gdt = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else sdt)
-            Xg = src_act[bucket.col_idx].astype(gdt)
+            Xg = src_act[bucket.col_idx].astype(sdt)   # f32 gather (PERF.md)
             return gram_cg_explicit(
                 Xg, bucket.values, bucket.nnz, x_init, lam,
-                cg_steps=cfg.cg_steps, dynamic_lambda=cfg.dynamic_lambda)
+                cg_steps=cfg.cg_steps, dynamic_lambda=cfg.dynamic_lambda,
+                mxu_bf16=(cfg.compute_dtype == "bfloat16"))
 
     mask = bucket.mask()
     Xg = src_act[bucket.col_idx].astype(sdt) * mask[..., None]
@@ -252,6 +294,16 @@ def _solve_bucket_explicit(
     return y, loss
 
 
+def _check_hot_supported(hot, cfg: ALSConfig):
+    if hot is None:
+        return
+    if cfg.with_biases or cfg.solver != CONJUGATE_GRADIENT \
+            or cfg.feedback != "implicit":
+        raise NotImplementedError(
+            "hot/cold split currently supports implicit feedback with the "
+            "conjugate-gradient solver and no per-entity biases")
+
+
 def _sweep_prepare(src, lam, g, cfg: ALSConfig, sdt):
     """XtX Gram (+ridge for implicit) and rhs_init from the source factors."""
     R = src.shape[1]
@@ -281,11 +333,14 @@ def _sweep_prepare(src, lam, g, cfg: ALSConfig, sdt):
 
 
 def _solve_one_bucket(src_act, x_biases, XtX, rhs_init, bucket, x_init,
-                      lam, g, cfg: ALSConfig, sdt):
+                      lam, g, cfg: ALSConfig, sdt, hot_W=None, V_hot=None):
     if cfg.feedback == "implicit":
         return _solve_bucket_implicit(
             src_act, x_biases, XtX, rhs_init, bucket, x_init, lam, g, cfg,
-            sdt)
+            sdt, hot_W=hot_W, V_hot=V_hot)
+    if hot_W is not None:
+        raise NotImplementedError(
+            "hot/cold split is implemented for implicit CG only")
     return _solve_bucket_explicit(src_act, x_biases, bucket, x_init, lam,
                                   cfg, sdt)
 
@@ -315,15 +370,23 @@ def _assemble_target(result_act, n_tgt, cfg: ALSConfig, dtype):
 
 
 def _solve_scatter(result_act, src_act, x_biases, XtX, rhs_init,
-                   bucket, old_act, lam, g, n_tgt: int, cfg: ALSConfig):
+                   bucket, old_act, lam, g, n_tgt: int, cfg: ALSConfig,
+                   hot=None, V_hot=None):
     """One bucket: gather warm start, solve, scatter into the result.
     Small per-shape program — compiles once per (B, L) shape and is reused
     by every same-shape chunk (donates the result buffer)."""
     sdt = XtX.dtype
+    ids = jnp.minimum(bucket.row_ids, n_tgt - 1)
     valid = bucket.row_ids < n_tgt
-    x_init = old_act[jnp.minimum(bucket.row_ids, n_tgt - 1)]
+    x_init = old_act[ids]
+    hot_W = None
+    if hot is not None:
+        hot_W = hot.W[ids]
+        # rows with zero TOTAL nnz keep the excluded-row semantics (y = 0)
+        valid = valid & (hot.row_nnz[ids] > 0)
     y, le = _solve_one_bucket(src_act, x_biases, XtX, rhs_init, bucket,
-                              x_init, lam, g, cfg, sdt)
+                              x_init, lam, g, cfg, sdt,
+                              hot_W=hot_W, V_hot=V_hot)
     y = jnp.where(valid[:, None], y, 0.0).astype(result_act.dtype)
     loss = jnp.sum(jnp.where(valid, le, 0.0))
     return result_act.at[bucket.row_ids].set(y), loss
@@ -341,6 +404,7 @@ def wrmf_sweep_streamed(
     lam,
     g,
     cfg: ALSConfig,
+    hot=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming ALS half-sweep: one small jitted program per bucket shape.
 
@@ -356,16 +420,18 @@ def wrmf_sweep_streamed(
     lam = jnp.asarray(lam, sdt)
     g = jnp.asarray(g, sdt)
 
+    _check_hot_supported(hot, cfg)
     src_act, x_biases, XtX, rhs_init = _sweep_prepare(src, lam, g, cfg, sdt)
     _, tgt_sl = _active_slices(cfg, R)
     old_act = tgt_old[:, tgt_sl]
     d = src_act.shape[1]
+    V_hot = None if hot is None else src_act[hot.hot_ids]
     result_act = jnp.zeros((n_tgt + 1, d), dtype=dtype)
     losses = []
     for bucket in buckets:
         result_act, le = _jit_solve_scatter(
             result_act, src_act, x_biases, XtX, rhs_init, bucket, old_act,
-            lam, g, n_tgt, cfg)
+            lam, g, n_tgt, cfg, hot, V_hot)
         losses.append(le)
     tgt_new = _assemble_target(result_act[:n_tgt], n_tgt, cfg, dtype)
     loss = sum(losses) + _src_reg_loss(src, src_cnt, lam, cfg, sdt)
@@ -380,6 +446,7 @@ def wrmf_sweep(
     lam: jax.Array,
     g: jax.Array,
     cfg: ALSConfig,
+    hot=None,                       # Optional[HotBlock]: dense zipf-head terms
 ) -> Tuple[jax.Array, jax.Array]:
     """One ALS half-sweep: re-solve every target entity given fixed sources.
 
@@ -394,16 +461,18 @@ def wrmf_sweep(
     lam = jnp.asarray(lam, sdt)
     g = jnp.asarray(g, sdt)
 
+    _check_hot_supported(hot, cfg)
     src_act, x_biases, XtX, rhs_init = _sweep_prepare(src, lam, g, cfg, sdt)
     _, tgt_sl = _active_slices(cfg, R)
     old_act = tgt_old[:, tgt_sl]
     d = src_act.shape[1]
+    V_hot = None if hot is None else src_act[hot.hot_ids]
     result_act = jnp.zeros((n_tgt + 1, d), dtype=dtype)
     loss = jnp.zeros((), sdt)
     for bucket in buckets:
         result_act, le = _solve_scatter(
             result_act, src_act, x_biases, XtX, rhs_init, bucket, old_act,
-            lam, g, n_tgt, cfg)
+            lam, g, n_tgt, cfg, hot, V_hot)
         loss = loss + le
     tgt_new = _assemble_target(result_act[:n_tgt], n_tgt, cfg, dtype)
     loss = loss + _src_reg_loss(src, src_cnt, lam, cfg, sdt)

@@ -45,34 +45,64 @@ from .solvers import CG_TOL
 __all__ = ["gram_cg_supported", "gram_cg_implicit", "gram_cg_explicit"]
 
 
-def gram_cg_supported(B: int, L: int, d: int) -> bool:
+def gram_cg_supported(B: int, L: int, d: int, itemsize: int = 4) -> bool:
     """Shapes the kernel tiles cleanly: see ``_pick_tiles``."""
     try:
-        _pick_tiles(B, L, d)
+        _pick_tiles(B, L, d, itemsize)
         return True
     except ValueError:
         return False
 
 
-def _pick_tiles(B: int, L: int, d: int) -> Tuple[int, int]:
+#: total VMEM budget for scratch + blocks + live vector temporaries
+_VMEM_BUDGET = 13 << 20
+
+
+def _vmem_cost(TB: int, TL: int, d: int, itemsize: int) -> int:
+    """Estimated scoped-VMEM bytes: 2 f32 Gram scratch accumulators,
+    double-buffered Xg input block, ~3 tile-sized f32/bf16 live temporaries
+    in the accumulate phase (Xf, W1, Wc), and 2 (TB, d, d) f32 temporaries
+    in the solve phase (A, the yGy broadcast)."""
+    gram = 2 * TB * d * d * 4 + 2 * TB * d * d * 4   # scratch + A/yGy temps
+    tile = TB * TL * d * itemsize * 2                # double-buffered input
+    temps = TB * TL * d * (4 + 2 + 2)                # Xf f32 + 2 bf16 copies
+    return gram + tile + temps
+
+
+def _pick_tiles(B: int, L: int, d: int, itemsize: int = 4) -> Tuple[int, int]:
     if d > 256:
         raise ValueError("rank too large for VMEM-resident Grams")
-    if L <= 256:
-        TL = L
-    elif L % 128 == 0:
-        TL = 128
-    else:
-        raise ValueError("L > 256 must be a multiple of 128")
-    TB = 16 if B % 16 == 0 else 8
-    if B % TB:
+    if B % 8:
         raise ValueError("batch not a multiple of 8")
-    return TB, TL
+    best = None
+    for TB in (64, 32, 16, 8):
+        if B % TB or _vmem_cost(TB, 8, d, itemsize) > _VMEM_BUDGET:
+            continue
+        max_tl = 8
+        while (max_tl < 512 and max_tl < L
+               and _vmem_cost(TB, max_tl + 8, d, itemsize) <= _VMEM_BUDGET):
+            max_tl += 8
+        if L <= max_tl:
+            tl = L
+        else:
+            tl = 0
+            for nl in range(-(-L // max_tl), L // 8 + 1):
+                if L % nl == 0 and (L // nl) % 8 == 0:
+                    tl = L // nl
+                    break
+            if not tl:
+                continue
+        if best is None or TB * tl > best[0] * best[1]:
+            best = (TB, tl)
+    if best is None:
+        raise ValueError("no feasible (TB, TL) tiling")
+    return best
 
 
 def _gram_kernel(xtx_ref, rhs0_ref, xg_ref, c_ref, nnz_ref, x0_ref,
                  lam_ref, g_ref, out_ref, loss_ref,
-                 g1_acc, gc_acc, vec_acc,
-                 *, cg_steps: int, use_rhs0: bool, TL: int):
+                 g_acc, vec_acc,
+                 *, cg_steps: int, use_rhs0: bool, TL: int, mxu_bf16: bool):
     TB, _, d = xg_ref.shape
     nL = pl.num_programs(1)
     j = pl.program_id(1)
@@ -80,27 +110,29 @@ def _gram_kernel(xtx_ref, rhs0_ref, xg_ref, c_ref, nnz_ref, x0_ref,
 
     @pl.when(j == 0)
     def _():
-        g1_acc[:] = jnp.zeros_like(g1_acc)
-        gc_acc[:] = jnp.zeros_like(gc_acc)
+        g_acc[:] = jnp.zeros_like(g_acc)
         vec_acc[:] = jnp.zeros_like(vec_acc)
 
     # --- accumulate phase: masked weights for this L-tile ----------------
-    if TL == c_ref.shape[1]:
-        c = c_ref[:].astype(f32)                            # (TB, TL)
-    else:
-        c = c_ref[:, pl.ds(pl.multiple_of(j * TL, 128), TL)].astype(f32)
+    c = c_ref[0].astype(f32)                                # (TB, TL)
     lidx = jax.lax.broadcasted_iota(jnp.int32, (TB, TL), 1) + j * TL
     mask = lidx < nnz_ref[:]
     cm = jnp.where(mask, c, 0.0)
     cm1 = jnp.where(mask, c - 1.0, 0.0)
 
-    Xg = xg_ref[:]                                          # (TB, TL, d)
-    Xf = Xg.astype(f32)
-    W1 = (Xf * cm1[..., None]).astype(Xg.dtype)
-    Wc = (Xf * cm[..., None]).astype(Xg.dtype)
+    Xf = xg_ref[:].astype(f32)                              # (TB, TL, d)
+    # MXU operands in bf16 when requested: the f32 HBM gather is ~2x the
+    # row rate of a bf16 one (gather is row-fetch-bound), so the cast
+    # belongs HERE, after the gather, where XLA cannot commute it back
+    # onto the source table.
+    mdt = jnp.bfloat16 if mxu_bf16 else xg_ref.dtype
+    Xm = Xf.astype(mdt)
+    # both Grams in ONE dot per entity: [W1 | Wc]' X -> [G1; Gc] (2d, d)
+    # (per-entity matmuls serialize on the MXU; dispatch count matters)
+    Ws = jnp.concatenate([(Xf * cm1[..., None]).astype(mdt),
+                          (Xf * cm[..., None]).astype(mdt)], axis=2)
     dn = (((1,), (1,)), ((0,), (0,)))                       # batch 0, contract TL
-    g1_acc[:] += jax.lax.dot_general(W1, Xg, dn, preferred_element_type=f32)
-    gc_acc[:] += jax.lax.dot_general(Wc, Xg, dn, preferred_element_type=f32)
+    g_acc[:] += jax.lax.dot_general(Ws, Xm, dn, preferred_element_type=f32)
     # vec_acc rows: [v1 | v2 | sum_c broadcast]   (3, TB, d)
     vec_acc[0] += jnp.sum(Xf * cm[..., None], axis=1)
     vec_acc[1] += jnp.sum(Xf * cm1[..., None], axis=1)
@@ -113,7 +145,7 @@ def _gram_kernel(xtx_ref, rhs0_ref, xg_ref, c_ref, nnz_ref, x0_ref,
         g = g_ref[0, 0]
         lam = lam_ref[0, 0]
         XtX = xtx_ref[:].astype(f32)                        # (d, d)
-        A = XtX[None] + g1_acc[:]                           # (TB, d, d)
+        A = XtX[None] + g_acc[:, :d, :]                     # (TB, d, d)
         v1 = vec_acc[0]
         rhs = v1 - g * vec_acc[1]
         if use_rhs0:
@@ -145,13 +177,14 @@ def _gram_kernel(xtx_ref, rhs0_ref, xg_ref, c_ref, nnz_ref, x0_ref,
         #   - 2*base0*(y.v1) + y' Gc y,  base0 = 1 - g
         base0 = 1.0 - g
         sum_c = vec_acc[2][:, 0]
-        yGy = jnp.sum(jnp.sum(gc_acc[:] * x[:, None, :], axis=2) * x, axis=1)
+        yGy = jnp.sum(jnp.sum(g_acc[:, d:, :] * x[:, None, :], axis=2) * x,
+                      axis=1)
         le = (base0 * base0 * sum_c - 2.0 * base0 * jnp.sum(x * v1, axis=1)
               + yGy + lam * jnp.sum(x * x, axis=1))
         loss_ref[:] = le[:, None]
 
 
-@partial(jax.jit, static_argnames=("cg_steps",))
+@partial(jax.jit, static_argnames=("cg_steps", "mxu_bf16"))
 def gram_cg_implicit(
     XtX: jax.Array,                  # (d, d) f32, incl. lambda ridge
     rhs_init: Optional[jax.Array],   # (d,) or None
@@ -162,20 +195,23 @@ def gram_cg_implicit(
     lam: jax.Array,
     g: jax.Array,
     cg_steps: int = 3,
+    mxu_bf16: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Single-HBM-pass batched Gram-CG solve + loss for one bucket.
 
     Returns (x (B, d) float32, per-entity loss (B,) float32).
     """
     B, L, d = Xg.shape
-    TB, TL = _pick_tiles(B, L, d)
+    TB, TL = _pick_tiles(B, L, d, Xg.dtype.itemsize)
     use_rhs0 = rhs_init is not None
     rhs0 = (jnp.zeros((1, d), jnp.float32) if rhs_init is None
             else rhs_init.astype(jnp.float32)[None, :])
 
     grid = (B // TB, L // TL)
+    # c as (nL, B, TL) so each (1, TB, TL) block is lane-aligned for any TL
+    c = jnp.moveaxis(c.reshape(B, L // TL, TL), 1, 0)
     kernel = partial(_gram_kernel, cg_steps=cg_steps, use_rhs0=use_rhs0,
-                     TL=TL)
+                     TL=TL, mxu_bf16=mxu_bf16)
     out, loss = pl.pallas_call(
         kernel,
         grid=grid,
@@ -186,8 +222,8 @@ def gram_cg_implicit(
                          memory_space=pltpu.VMEM),           # rhs0
             pl.BlockSpec((TB, TL, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),           # Xg
-            pl.BlockSpec((TB, L), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),           # c (full row)
+            pl.BlockSpec((1, TB, TL), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),           # c tile
             pl.BlockSpec((TB, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),           # nnz
             pl.BlockSpec((TB, d), lambda i, j: (i, 0),
@@ -208,8 +244,7 @@ def gram_cg_implicit(
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TB, d, d), jnp.float32),             # G1
-            pltpu.VMEM((TB, d, d), jnp.float32),             # Gc
+            pltpu.VMEM((TB, 2 * d, d), jnp.float32),         # [G1; Gc]
             pltpu.VMEM((3, TB, d), jnp.float32),             # v1/v2/sum_c
         ],
     )(XtX.astype(jnp.float32), rhs0, Xg, c,
@@ -221,7 +256,8 @@ def gram_cg_implicit(
 
 def _gram_explicit_kernel(xg_ref, c_ref, nnz_ref, x0_ref, lam_ref,
                           out_ref, loss_ref, g0_acc, vec_acc,
-                          *, cg_steps: int, dynamic_lambda: bool, TL: int):
+                          *, cg_steps: int, dynamic_lambda: bool, TL: int,
+                          mxu_bf16: bool):
     """Explicit-feedback variant: lhs = Xg' Xg + lam_use I, rhs = Xg' r.
 
     Math of ``als_explicit`` / ``cg_solver_explicit`` (reference
@@ -237,17 +273,14 @@ def _gram_explicit_kernel(xg_ref, c_ref, nnz_ref, x0_ref, lam_ref,
         g0_acc[:] = jnp.zeros_like(g0_acc)
         vec_acc[:] = jnp.zeros_like(vec_acc)
 
-    if TL == c_ref.shape[1]:
-        c = c_ref[:].astype(f32)
-    else:
-        c = c_ref[:, pl.ds(pl.multiple_of(j * TL, 128), TL)].astype(f32)
+    c = c_ref[0].astype(f32)
     lidx = jax.lax.broadcasted_iota(jnp.int32, (TB, TL), 1) + j * TL
     mask = (lidx < nnz_ref[:]).astype(f32)
     conf = c * mask
 
-    Xg = xg_ref[:]
-    Xf = Xg.astype(f32)
-    Xm = (Xf * mask[..., None]).astype(Xg.dtype)
+    Xf = xg_ref[:].astype(f32)
+    mdt = jnp.bfloat16 if mxu_bf16 else xg_ref.dtype
+    Xm = (Xf * mask[..., None]).astype(mdt)
     dn = (((1,), (1,)), ((0,), (0,)))
     g0_acc[:] += jax.lax.dot_general(Xm, Xm, dn, preferred_element_type=f32)
     # vec rows: [rhs = Xg' conf | sum conf^2 broadcast]
@@ -297,7 +330,7 @@ def _gram_explicit_kernel(xg_ref, c_ref, nnz_ref, x0_ref, lam_ref,
         loss_ref[:] = le[:, None]
 
 
-@partial(jax.jit, static_argnames=("cg_steps", "dynamic_lambda"))
+@partial(jax.jit, static_argnames=("cg_steps", "dynamic_lambda", "mxu_bf16"))
 def gram_cg_explicit(
     Xg: jax.Array,                   # (B, L, d) gathered source factors
     conf: jax.Array,                 # (B, L) ratings
@@ -306,21 +339,24 @@ def gram_cg_explicit(
     lam: jax.Array,
     cg_steps: int = 3,
     dynamic_lambda: bool = False,
+    mxu_bf16: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Single-HBM-pass batched explicit-feedback Gram-CG solve + loss."""
     B, L, d = Xg.shape
-    TB, TL = _pick_tiles(B, L, d)
+    TB, TL = _pick_tiles(B, L, d, Xg.dtype.itemsize)
     grid = (B // TB, L // TL)
+    conf = jnp.moveaxis(conf.reshape(B, L // TL, TL), 1, 0)
     kernel = partial(_gram_explicit_kernel, cg_steps=cg_steps,
-                     dynamic_lambda=dynamic_lambda, TL=TL)
+                     dynamic_lambda=dynamic_lambda, TL=TL,
+                     mxu_bf16=mxu_bf16)
     out, loss = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((TB, TL, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),           # Xg
-            pl.BlockSpec((TB, L), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),           # conf (full row)
+            pl.BlockSpec((1, TB, TL), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),           # conf tile
             pl.BlockSpec((TB, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),           # nnz
             pl.BlockSpec((TB, d), lambda i, j: (i, 0),

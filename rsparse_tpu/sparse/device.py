@@ -77,15 +77,16 @@ def _round_up(n: int, m: int) -> int:
 def _length_grid(min_len: int, max_len: int, ratio: float,
                  quantum: int = 8) -> np.ndarray:
     """Geometric grid of padded row lengths: each step grows by ``ratio``
-    (rounded up to ``quantum``; lengths past 256 snap to multiples of 128 so
-    Pallas sweep kernels can tile the L axis).  ``ratio=2`` reproduces
+    (rounded up to ``quantum``; lengths past 256 snap to multiples of 32 so
+    Pallas sweep kernels get reasonable L-tiles).  ``ratio=2`` reproduces
     power-of-two bucketing; the default 1.25 cuts average padding waste from
     ~1.4x to ~1.1x at the cost of more distinct (B, L) program shapes
     (amortized by the persistent compilation cache)."""
     g = [min_len]
     while g[-1] < max_len:
-        q = quantum if g[-1] < 256 else max(quantum, 128)
-        g.append(max(_round_up(int(g[-1] * ratio), q), g[-1] + q))
+        nxt = max(int(g[-1] * ratio), g[-1] + quantum)
+        q = quantum if nxt <= 256 else max(quantum, 32)
+        g.append(_round_up(nxt, q))
     return np.asarray(g, dtype=np.int64)
 
 
@@ -94,7 +95,7 @@ def bucket_rows(
     dtype=jnp.float32,
     *,
     min_len: int = 8,
-    row_align: int = 8,
+    row_align: int = 32,
     max_buckets: int = 24,
     length_ratio: float = 1.25,
     include_empty: bool = False,
@@ -225,3 +226,63 @@ def coo_batches(
         out.append(COOBatch(jnp.asarray(rows), jnp.asarray(cols),
                             jnp.asarray(vals, dtype=dtype), jnp.asarray(valid)))
     return out
+
+
+class HotBlock(NamedTuple):
+    """Dense block for the hottest columns (zipf head).
+
+    The per-nnz HBM gather is row-fetch-bound (~280M rows/s on v5e — see
+    PERF.md), so every nnz that lands on a popular column pays the same
+    fetch as a rare one.  For the head of the popularity distribution it is
+    far cheaper to store the interaction weights *densely* (rows x n_hot)
+    and run the ALS normal-equation terms as plain MXU matmuls against the
+    n_hot gathered factor rows — zero per-nnz gathers.  The long tail stays
+    on the bucketed-gather path.  ``W[r, j] = c`` for column ``hot_ids[j]``
+    (0 = absent; implicit confidences are >= 1 so 0 is unambiguous).
+    """
+
+    hot_ids: jax.Array        # (H,) int32 original column ids
+    W: jax.Array              # (n_rows, H) confidence/rating, 0 = absent
+    row_nnz: jax.Array        # (n_rows,) int32 TOTAL row nnz (hot + cold)
+
+
+def split_hot_cold(
+    x: sp.spmatrix,
+    n_hot: int,
+    dtype=jnp.float32,
+    w_dtype=None,
+) -> Tuple[Optional[HotBlock], sp.csr_matrix]:
+    """Split columns into a dense hot block + a cold remainder CSR.
+
+    Returns ``(HotBlock | None, cold_csr)`` — the cold matrix keeps the
+    original shape and column ids (hot columns zeroed), so bucketed solves
+    are unchanged; the hot block adds dense rhs/matvec/loss terms.
+    """
+    csr = sp.csr_matrix(x)
+    n_rows, n_cols = csr.shape
+    n_hot = int(min(n_hot, n_cols))
+    if n_hot <= 0 or csr.nnz == 0:
+        return None, csr
+    col_counts = np.bincount(csr.indices, minlength=n_cols)
+    hot_ids = np.sort(np.argsort(-col_counts, kind="stable")[:n_hot]
+                      .astype(np.int32))
+    row_nnz_total = np.diff(csr.indptr).astype(np.int32)
+
+    hot_pos = np.full((n_cols,), -1, np.int32)
+    hot_pos[hot_ids] = np.arange(n_hot, dtype=np.int32)
+    is_hot = hot_pos[csr.indices] >= 0
+
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64),
+                     np.diff(csr.indptr))[is_hot]
+    W = np.zeros((n_rows, n_hot), np.float32)
+    W[rows, hot_pos[csr.indices[is_hot]]] = csr.data[is_hot]
+
+    cold = csr.copy()
+    cold.data = np.where(is_hot, 0, cold.data)
+    cold.eliminate_zeros()
+
+    w_dtype = w_dtype or dtype
+    blk = HotBlock(hot_ids=jnp.asarray(hot_ids),
+                   W=jnp.asarray(W, w_dtype),
+                   row_nnz=jnp.asarray(row_nnz_total))
+    return blk, cold

@@ -93,8 +93,9 @@ def test_supported_predicate():
     assert pg.gram_cg_supported(128, 128, 128)
     assert pg.gram_cg_supported(8, 4096, 128)
     assert pg.gram_cg_supported(16, 24, 128)
+    assert pg.gram_cg_supported(16, 300, 128)      # L == full block dim
     assert not pg.gram_cg_supported(12, 64, 128)   # batch not mult of 8
-    assert not pg.gram_cg_supported(16, 300, 128)  # long L not 128-aligned
+    assert not pg.gram_cg_supported(16, 4097, 128)  # no 8-aligned L-tile
     assert not pg.gram_cg_supported(16, 64, 512)   # rank too large
 
 

@@ -80,3 +80,49 @@ def test_coo_batches():
     s = sum(float((np.asarray(b.vals) * np.asarray(b.valid)).sum())
             for b in batches)
     np.testing.assert_allclose(s, m.sum(), rtol=1e-5)
+
+
+def test_hot_cold_split_roundtrip():
+    from rsparse_tpu.sparse.device import split_hot_cold
+    m = sp.random(60, 40, density=0.15,
+                  random_state=np.random.RandomState(5), format="csr")
+    m.data[:] = 1.0 + m.data  # implicit confidences >= 1
+    hot, cold = split_hot_cold(m, 8)
+    assert hot is not None and hot.W.shape == (60, 8)
+    # dense block + cold remainder reassemble the original matrix
+    dense = np.zeros((60, 40))
+    dense[:, np.asarray(hot.hot_ids)] = np.asarray(hot.W)
+    np.testing.assert_allclose(dense + cold.toarray(), m.toarray(),
+                               rtol=1e-6)
+    assert (np.asarray(hot.row_nnz) == np.diff(m.indptr)).all()
+    # hot ids are the most popular columns
+    counts = np.bincount(m.indices, minlength=40)
+    assert set(np.asarray(hot.hot_ids)) == set(
+        np.argsort(-counts, kind="stable")[:8])
+
+
+def test_hot_cold_sweep_parity():
+    """Implicit CG sweep with the dense-head split == plain sweep."""
+    import jax.numpy as jnp
+    from rsparse_tpu.ops.als import ALSConfig, solver_code, wrmf_sweep
+    from rsparse_tpu.sparse.device import split_hot_cold
+    rng = np.random.default_rng(7)
+    m = sp.random(64, 48, density=0.2,
+                  random_state=np.random.RandomState(6), format="csr")
+    m.data[:] = 1.0 + 4 * m.data
+    dt = jnp.float64
+    src = jnp.asarray(rng.standard_normal((48, 12)) * 0.1, dt)
+    tgt = jnp.asarray(rng.standard_normal((64, 12)) * 0.1, dt)
+    cfg = ALSConfig(feedback="implicit",
+                    solver=solver_code("conjugate_gradient"))
+
+    full = bucket_rows(m, dt)
+    y_ref, loss_ref = wrmf_sweep(src, tgt, full.buckets, None, 0.3, 0.0, cfg)
+
+    hot, cold = split_hot_cold(m, 12, dt)
+    cb = bucket_rows(cold, dt, include_empty=True)
+    y_hot, loss_hot = wrmf_sweep(src, tgt, cb.buckets, None, 0.3, 0.0, cfg,
+                                 hot=hot)
+    np.testing.assert_allclose(np.asarray(y_hot), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(float(loss_hot), float(loss_ref), rtol=1e-6)
