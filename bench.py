@@ -37,6 +37,9 @@ MEAN_NNZ = 144          # ML-20M-ish interactions per user
 LAM = 0.1
 REPS = 10
 BASELINE_THREADS = 16
+# dense zipf-head size for the headline sweep (scripts/exp_hot.py scan:
+# 2048-4096 is the plateau; 1.27M -> 1.97M updates/s over no split)
+N_HOT = 4096
 
 
 def log(*a):
@@ -287,7 +290,8 @@ def main():
     csr = synth_ml20m_like(8192 if quick else N_USERS,
                            4096 if quick else N_ITEMS)
     log(f"problem: {csr.shape} nnz={csr.nnz}")
-    ups = measure_sweep(csr, RANK, 3 if quick else REPS)
+    ups = measure_sweep(csr, RANK, 3 if quick else REPS,
+                        n_hot=512 if quick else N_HOT)
     for name, fn in [
         ("topk", lambda: measure_topk(sp.csr_matrix(csr[:8192]), RANK)),
         ("glove", lambda: None if quick else measure_glove()),

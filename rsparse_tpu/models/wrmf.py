@@ -32,7 +32,7 @@ from ..config import logger, resolve_dtype
 from ..ops.als import (ALSConfig, CHOLESKY, CONJUGATE_GRADIENT, NNLS,
                        solver_code, wrmf_sweep_streamed)
 from ..ops.bias_init import initialize_biases
-from ..sparse.device import BucketedRows, bucket_rows
+from ..sparse.device import BucketedRows, bucket_rows, split_hot_cold
 from .base import MatrixFactorizationRecommender, get_names
 
 
@@ -59,6 +59,7 @@ class WRMF(MatrixFactorizationRecommender):
         mesh=None,
         compute_dtype: str = "float32",
         use_pallas: bool = False,
+        n_hot="auto",
     ):
         super().__init__()
         if feedback not in ("implicit", "explicit"):
@@ -96,6 +97,12 @@ class WRMF(MatrixFactorizationRecommender):
         self.mesh = mesh
         self.compute_dtype = compute_dtype
         self.use_pallas = bool(use_pallas)
+        #: dense zipf-head split (sparse/device.py HotBlock): the hottest
+        #: columns of each sweep orientation are handled as a dense MXU
+        #: block with zero per-nnz gathers.  ``0`` disables, an int fixes
+        #: the head size, "auto" picks by the measured break-even column
+        #: count (PERF.md: gather ~2 KB/nnz vs dense ~12 B/row/column).
+        self.n_hot = n_hot
         self.components = None          # (R, n_items) view for the public API
         self._V = None                  # (n_items, R) device factors
         self._U = None                  # (n_users, R) device factors
@@ -120,6 +127,7 @@ class WRMF(MatrixFactorizationRecommender):
             nnls_max_iter=self.nnls_max_iter,
             compute_dtype=self.compute_dtype,
             use_pallas=self.use_pallas,
+            solve_empty=self._include_empty,
         )
 
     # -- sharding helpers --------------------------------------------------
@@ -151,12 +159,35 @@ class WRMF(MatrixFactorizationRecommender):
         return jax.device_put(
             arr, NamedSharding(self.mesh, P()))
 
-    def _sweep(self, src, tgt, buckets, src_cnt, lam, g, cfg):
+    def _sweep(self, src, tgt, buckets, src_cnt, lam, g, cfg, hot=None):
         if self.mesh is not None:
             with self.mesh:
                 return wrmf_sweep_streamed(src, tgt, buckets, src_cnt, lam,
                                            g, cfg)
-        return wrmf_sweep_streamed(src, tgt, buckets, src_cnt, lam, g, cfg)
+        return wrmf_sweep_streamed(src, tgt, buckets, src_cnt, lam, g, cfg,
+                                   hot=hot)
+
+    def _resolve_n_hot(self, csr: sp.csr_matrix) -> int:
+        """Head size for the dense zipf-head split of one sweep orientation.
+
+        Only the implicit-CG-no-bias configuration has a hot kernel path;
+        "auto" includes every column whose nnz count clears the measured
+        break-even (a cold nnz costs ~2 KB of gather+stream traffic, a hot
+        column ~12 B per target row per sweep — see PERF.md), capped by a
+        1 GB budget for the dense W block.
+        """
+        if (self.mesh is not None or self.feedback != "implicit"
+                or self.solver != CONJUGATE_GRADIENT
+                or self.with_user_item_bias or self.use_pallas):
+            return 0
+        n_rows, n_cols = csr.shape
+        n = self.n_hot
+        if n == "auto":
+            counts = np.bincount(csr.indices, minlength=n_cols)
+            n = int((counts >= max(8, n_rows // 256)).sum())
+        cap = (1 << 30) // max(2 * n_rows, 1)
+        n = int(min(int(n), 8192, cap, n_cols))
+        return n if n >= 16 else 0
 
     @property
     def _include_empty(self) -> bool:
@@ -217,10 +248,35 @@ class WRMF(MatrixFactorizationRecommender):
 
         incl = self._include_empty
         # items-as-rows buckets drive the item sweep; users-as-rows the user
-        # sweep (the two orientations of R/model_WRMF.R:184-189)
-        iu = self._bucketize(csr.T.tocsr(), incl)
-        ui = self._bucketize(csr, incl)
-        self._train_ui = ui
+        # sweep (the two orientations of R/model_WRMF.R:184-189).  With the
+        # dense zipf-head split active, training sweeps run on (hot block +
+        # cold buckets); the exact final/transform half-sweep keeps the full
+        # buckets (its Cholesky solver has no hot path).
+        csr_t = csr.T.tocsr()
+        w_dt = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
+                else self.dtype)
+        hot_ui, cold_ui = None, csr
+        n_hot_items = self._resolve_n_hot(csr)
+        if n_hot_items:
+            hot_ui, cold_ui = split_hot_cold(csr, n_hot_items, self.dtype,
+                                             w_dtype=w_dt)
+        hot_iu, cold_iu = None, csr_t
+        n_hot_users = self._resolve_n_hot(csr_t)
+        if n_hot_users:
+            hot_iu, cold_iu = split_hot_cold(csr_t, n_hot_users, self.dtype,
+                                             w_dtype=w_dt)
+        if n_hot_items or n_hot_users:
+            logger.info("zipf-head split: %d hot items (%.0f%% nnz), "
+                        "%d hot users (%.0f%% nnz)",
+                        n_hot_items, 100 * (1 - cold_ui.nnz / max(csr.nnz, 1)),
+                        n_hot_users, 100 * (1 - cold_iu.nnz / max(csr.nnz, 1)))
+        iu = self._bucketize(cold_iu, incl or hot_iu is not None)
+        ui = (self._bucketize(cold_ui, incl or hot_ui is not None)
+              if (hot_ui is not None) else None)
+        ui_full = self._bucketize(csr, incl)
+        if ui is None:
+            ui = ui_full
+        self._train_ui = ui_full
         nnz = max(csr.nnz, 1)
         self._cnt_u = jnp.asarray(np.diff(csr.indptr), jnp.float32)
         csc = csr.tocsc()
@@ -260,13 +316,13 @@ class WRMF(MatrixFactorizationRecommender):
         for it in range(n_iter):
             with self.fit_trace.phase(it + 1, "items") as rec:
                 V, loss = self._sweep(U, V, iu.buckets, self._cnt_u,
-                                      lam, g, cfg_items)
+                                      lam, g, cfg_items, hot_iu)
                 loss = float(loss) / nnz
                 rec["loss"] = loss
             logger.info("iter %d (items) loss = %.4f", it + 1, loss)
             with self.fit_trace.phase(it + 1, "users") as rec:
                 U, loss = self._sweep(V, U, ui.buckets, self._cnt_i,
-                                      lam, g, cfg_users)
+                                      lam, g, cfg_users, hot_ui)
                 loss = float(loss) / nnz
                 rec["loss"] = loss
             logger.info("iter %d (users) loss = %.4f", it + 1, loss)
@@ -281,7 +337,7 @@ class WRMF(MatrixFactorizationRecommender):
 
         # extra half-sweep so fit_transform == transform exactly
         # (R/model_WRMF.R:355-359)
-        self._U = self._transform_buckets(ui, n_users)
+        self._U = self._transform_buckets(ui_full, n_users)
         return self._U
 
     def _transform_buckets(self, ui: BucketedRows, n_users: int) -> jax.Array:

@@ -74,6 +74,11 @@ class ALSConfig:
     #: above it the single-HBM-pass Gram kernel wins)
     use_pallas: bool = False
     pallas_min_len: int = 256
+    #: solve rows with zero total nnz too (implicit global-bias semantics,
+    #: wrmf_implicit.hpp:180).  Only consulted on the hot/cold-split path,
+    #: where bucket membership alone can't distinguish "row is empty" from
+    #: "row's nnz all live in the hot block".
+    solve_empty: bool = False
 
 
 def solver_code(name: str) -> int:
@@ -382,8 +387,9 @@ def _solve_scatter(result_act, src_act, x_biases, XtX, rhs_init,
     hot_W = None
     if hot is not None:
         hot_W = hot.W[ids]
-        # rows with zero TOTAL nnz keep the excluded-row semantics (y = 0)
-        valid = valid & (hot.row_nnz[ids] > 0)
+        if not cfg.solve_empty:
+            # rows with zero TOTAL nnz keep the excluded-row semantics (y=0)
+            valid = valid & (hot.row_nnz[ids] > 0)
     y, le = _solve_one_bucket(src_act, x_biases, XtX, rhs_init, bucket,
                               x_init, lam, g, cfg, sdt,
                               hot_W=hot_W, V_hot=V_hot)

@@ -274,7 +274,7 @@ def split_hot_cold(
 
     rows = np.repeat(np.arange(n_rows, dtype=np.int64),
                      np.diff(csr.indptr))[is_hot]
-    W = np.zeros((n_rows, n_hot), np.float32)
+    W = np.zeros((n_rows, n_hot), csr.data.dtype)
     W[rows, hot_pos[csr.indices[is_hot]]] = csr.data[is_hot]
 
     cold = csr.copy()

@@ -19,10 +19,25 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the suite compiles hundreds of per-shape
+# programs; warm reruns skip nearly all of it
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import scipy.sparse as sp  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches():
+    """Drop compiled executables between modules: one long process
+    accumulating 1000+ XLA-CPU JIT programs can segfault inside LLVM
+    (observed on the full suite around the 25-minute mark)."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")

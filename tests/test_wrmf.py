@@ -202,3 +202,40 @@ def test_wrmf_warm_start_init(ml100k_split):
               precision="double", init=m1.components, seed=0)
     m2.fit_transform(train, n_iter=1, convergence_tol=-1)
     assert m2.loss_history[-1] <= m1.loss_history[0]
+
+
+def test_wrmf_hot_cold_split_parity():
+    """The dense zipf-head split (n_hot) must reproduce the plain bucketed
+    sweep exactly: same normal equations, partitioned by column set."""
+    rng = np.random.default_rng(3)
+    m = sp.random(300, 200, 0.08, random_state=3, format="csr")
+    m.data = 1.0 + rng.exponential(2.0, m.nnz)
+    kw = dict(rank=8, lambda_=0.5, feedback="implicit",
+              solver="conjugate_gradient", seed=0, precision="double")
+    for gb in (False, True):
+        e0 = np.asarray(WRMF(n_hot=0, with_global_bias=gb, **kw)
+                        .fit_transform(m, n_iter=3, convergence_tol=-1))
+        e1 = np.asarray(WRMF(n_hot=64, with_global_bias=gb, **kw)
+                        .fit_transform(m, n_iter=3, convergence_tol=-1))
+        np.testing.assert_allclose(e1, e0, rtol=1e-10, atol=1e-12)
+
+
+def test_wrmf_hot_cold_empty_and_fully_hot_rows():
+    """Rows whose nnz land entirely in the hot block must still be solved;
+    truly empty rows stay zero (reference excluded-row semantics)."""
+    rng = np.random.default_rng(4)
+    m = sp.random(120, 80, 0.1, random_state=4, format="csr").tolil()
+    m[5, :] = 0                       # empty row
+    m[7, :] = 0
+    m[7, 0] = 2.0                     # row only touching the hottest column
+    m = sp.csr_matrix(m)
+    m.data = np.abs(m.data) + 1.0
+    kw = dict(rank=4, lambda_=0.5, feedback="implicit",
+              solver="conjugate_gradient", seed=0, precision="double")
+    e0 = np.asarray(WRMF(n_hot=0, **kw)
+                    .fit_transform(m, n_iter=2, convergence_tol=-1))
+    e1 = np.asarray(WRMF(n_hot=16, **kw)
+                    .fit_transform(m, n_iter=2, convergence_tol=-1))
+    np.testing.assert_allclose(e1, e0, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(e1[5], 0.0)
+    assert np.abs(e1[7]).max() > 0
