@@ -145,8 +145,9 @@ def measure_topk(csr, rank, k=10, user_chunk=4096):
     max_mask = max(int(np.add.reduceat(
         row_nnz, np.arange(0, n_users, C)).max()), 1)
     xs = np.zeros((n_chunks, C, rank), np.float32)
-    mrows = np.full((n_chunks, max_mask), C, np.int32)
+    mrows = np.zeros((n_chunks, max_mask), np.int32)
     mcols = np.zeros((n_chunks, max_mask), np.int32)
+    mvals = np.full((n_chunks, max_mask), np.inf, np.float32)
     for ci, s in enumerate(range(0, n_users, C)):
         e = min(s + C, n_users)
         xs[ci, : e - s] = x[s:e]
@@ -156,8 +157,10 @@ def measure_topk(csr, rank, k=10, user_chunk=4096):
                 np.arange(s, e, dtype=np.int32) - s,
                 np.diff(csr.indptr[s:e + 1]))
             mcols[ci, : p2 - p1] = csr.indices[p1:p2]
+            mvals[ci, : p2 - p1] = tk.NEG_INF
     args = (jnp.asarray(xs), y, jnp.asarray(mrows), jnp.asarray(mcols),
-            jnp.asarray(np.zeros(n_items, bool)), jnp.float32(0.0))
+            jnp.asarray(mvals), jnp.asarray(np.zeros(n_items, bool)),
+            jnp.float32(0.0))
     ts, ti = tk._topk_scan(*args, 10)
     float(ts[0, 0, 0])  # warm + block
     t0 = time.time()

@@ -23,6 +23,56 @@ import scipy.sparse as sp
 NEG_INF = float(np.finfo(np.float32).min)
 
 
+def exact_top_k_tournament(scores: jax.Array, k: int, group: int = 256):
+    """Exact top-k as a tournament with replacement: one full pass builds
+    per-group (max, argmax) tables, then k cheap iterations each pick the
+    globally best group, re-scan only that group's ``group`` values with
+    already-taken entries masked, and update the tables.
+
+    ``lax.top_k`` lowers to full bitonic sorts on TPU (~40 passes over the
+    score matrix); this formulation reads the matrix once plus k tiny
+    gathers — measured 3.6x faster end-to-end at (4096, 32768), exact
+    index agreement (scripts/exp_topk2.py).  Ties resolve to the lowest
+    index, matching stable ``lax.top_k``.
+    """
+    n = scores.shape[-1]
+    if n <= max(2 * group, 2 * k) or scores.ndim != 2:
+        s, i = jax.lax.top_k(scores, k)
+        return s, i.astype(jnp.int32)
+    B = scores.shape[0]
+    Gn = -(-n // group)
+    pad = Gn * group - n
+    if pad:
+        scores = jnp.concatenate(
+            [scores, jnp.full((B, pad), NEG_INF, scores.dtype)], axis=-1)
+    sg = scores.reshape(B, Gn, group)
+    gm = jnp.max(sg, axis=-1)                         # (B, Gn)
+    gi = jnp.argmax(sg, axis=-1).astype(jnp.int32)
+    col_ids = jnp.arange(group, dtype=jnp.int32)[None, :]
+    grp_ids = jnp.arange(Gn, dtype=jnp.int32)[None, :]
+
+    def step(carry, _):
+        gm, gi, taken = carry                         # taken: (B, k) global
+        bg = jnp.argmax(gm, axis=-1).astype(jnp.int32)  # (B,) best group
+        bs = jnp.take_along_axis(gm, bg[:, None], 1)[:, 0]
+        bi = bg * group + jnp.take_along_axis(gi, bg[:, None], 1)[:, 0]
+        taken = jnp.concatenate([taken[:, 1:], bi[:, None]], axis=1)
+        row = jnp.take_along_axis(sg, bg[:, None, None], 1)[:, 0]  # (B, grp)
+        glob = bg[:, None] * group + col_ids
+        dead = (glob[:, :, None] == taken[:, None, :]).any(-1)
+        row = jnp.where(dead, NEG_INF, row)
+        onehot = grp_ids == bg[:, None]
+        gm = jnp.where(onehot, jnp.max(row, axis=-1)[:, None], gm)
+        gi = jnp.where(onehot,
+                       jnp.argmax(row, axis=-1).astype(jnp.int32)[:, None],
+                       gi)
+        return (gm, gi, taken), (bs, bi)
+
+    taken0 = jnp.full((B, k), -1, jnp.int32)
+    _, (ss, ii) = jax.lax.scan(step, (gm, gi, taken0), None, length=k)
+    return ss.T, ii.T.astype(jnp.int32)
+
+
 def exact_top_k(scores: jax.Array, k: int, group: int = 512):
     """Exact top-k via two stages: per-group top-k then a merge top-k.
 
@@ -53,23 +103,26 @@ def exact_top_k(scores: jax.Array, k: int, group: int = 512):
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _topk_scan(x, y, mask_rows, mask_cols, exclude_mask, glob_mean, k: int):
+def _topk_scan(x, y, mask_rows, mask_cols, mask_vals, exclude_mask,
+               glob_mean, k: int):
     """x: (n_chunks, C, R); mask_rows/cols: (n_chunks, M) chunk-local rows
-    (C => padding) and item cols.  Returns ((n_chunks, C, k) scores, idx)."""
-    C = x.shape[1]
+    and item cols (padding entries carry +inf in ``mask_vals`` so the
+    scatter-min leaves scores untouched — no padding row / concat pass).
+    Returns ((n_chunks, C, k) scores, idx)."""
 
     def chunk(_, args):
-        xc, mrows, mcols = args
+        xc, mrows, mcols, mvals = args
         scores = jnp.dot(xc, y, preferred_element_type=jnp.float32)
         scores = scores + glob_mean
         scores = jnp.where(exclude_mask[None, :], NEG_INF, scores)
-        padded = jnp.concatenate(
-            [scores, jnp.zeros((1, scores.shape[1]), scores.dtype)], axis=0)
-        padded = padded.at[mrows, mcols].set(NEG_INF)
-        ts, ti = exact_top_k(padded[:C], k)
+        # .min (not .set): padding entries carry +inf and may repeat
+        # coordinates — min is duplicate-safe, so no hints are claimed
+        scores = scores.at[mrows, mcols].min(mvals)
+        ts, ti = exact_top_k_tournament(scores, k)
         return None, (ts, ti)
 
-    _, (ts, ti) = jax.lax.scan(chunk, None, (x, mask_rows, mask_cols))
+    _, (ts, ti) = jax.lax.scan(chunk, None,
+                               (x, mask_rows, mask_cols, mask_vals))
     return ts, ti
 
 
@@ -122,8 +175,9 @@ def top_product(
         max_mask = 1
 
     xs = np.zeros((n_chunks, C, x.shape[1]), np.float32)
-    mrows = np.full((n_chunks, max_mask), C, np.int32)
+    mrows = np.zeros((n_chunks, max_mask), np.int32)
     mcols = np.zeros((n_chunks, max_mask), np.int32)
+    mvals = np.full((n_chunks, max_mask), np.inf, np.float32)  # pad = no-op
     for ci, s in enumerate(range(0, n_users, C)):
         e = min(s + C, n_users)
         xs[ci, : e - s] = x[s:e]
@@ -135,9 +189,11 @@ def top_product(
                     np.arange(s, e, dtype=np.int32) - s,
                     np.diff(nr.indptr[s:e + 1]))
                 mcols[ci, :m] = nr.indices[p1:p2]
+                mvals[ci, :m] = NEG_INF
 
     ts, ti = _topk_scan(jnp.asarray(xs), y, jnp.asarray(mrows),
-                        jnp.asarray(mcols), jnp.asarray(exclude_mask),
+                        jnp.asarray(mcols), jnp.asarray(mvals),
+                        jnp.asarray(exclude_mask),
                         jnp.float32(glob_mean), k)
     ts = np.asarray(ts).reshape(n_chunks * C, k)[:n_users]
     ti = np.asarray(ti).reshape(n_chunks * C, k)[:n_users]

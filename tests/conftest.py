@@ -20,10 +20,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # persistent compile cache: the suite compiles hundreds of per-shape
-# programs; warm reruns skip nearly all of it
+# programs; warm reruns skip nearly all of it.  Separate dir from the
+# TPU bench cache — that one accumulates CPU AOT entries compiled on the
+# relay machine (different CPU features -> SIGILL risk if loaded here).
 jax.config.update("jax_compilation_cache_dir", os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".jax_cache"))
+    ".jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
