@@ -274,7 +274,10 @@ def split_hot_cold(
 
     rows = np.repeat(np.arange(n_rows, dtype=np.int64),
                      np.diff(csr.indptr))[is_hot]
-    W = np.zeros((n_rows, n_hot), csr.data.dtype)
+    # build the dense block at (no more than) the requested device width —
+    # a float64 (n_rows, n_hot) intermediate is GBs at bench scale
+    np_w = np.float64 if (w_dtype or dtype) == jnp.float64 else np.float32
+    W = np.zeros((n_rows, n_hot), np_w)
     W[rows, hot_pos[csr.indices[is_hot]]] = csr.data[is_hot]
 
     cold = csr.copy()
