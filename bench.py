@@ -231,16 +231,21 @@ def measure_soft_impute(csr, rank=256):
 
 
 def measure_rankmf(csr, rank=128):
-    """Config #5: RankMF WARP pairwise updates/s."""
+    """Config #5: RankMF WARP pairwise updates/s.
+
+    The model returns device-resident embeddings (identity features); the
+    AUC scalar readback + block_until_ready bound the full update chain.
+    """
+    import jax
     from rsparse_tpu.models.rankmf import RankMF
     m = RankMF(rank=rank, learning_rate=0.05, loss="warp", seed=0,
                batch_size=8192, max_negative_samples=20)
     t0 = time.time()
-    m.partial_fit_transform(csr, n_iter=1)
+    jax.block_until_ready(m.partial_fit_transform(csr, n_iter=1))
     log(f"rankmf first pass (compile): {time.time()-t0:.1f}s")
     n_updates = 8 * csr.shape[0]
     t0 = time.time()
-    m.partial_fit_transform(csr, n_iter=8)
+    jax.block_until_ready(m.partial_fit_transform(csr, n_iter=8))
     dt = time.time() - t0
     log(f"rankmf warp: {n_updates/dt:,.0f} pairwise updates/s "
         f"(AUC~{m.auc_history[-1]:.3f})")

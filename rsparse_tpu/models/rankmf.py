@@ -262,6 +262,7 @@ class RankMF(MatrixFactorizationRecommender):
         self.item_features_embeddings = None   # H (n_item_feat, r)
         self._accW = self._accH = None
         self._item_features = None
+        self._identity_user_feats = self._identity_item_feats = False
         self.auc_history = []
 
     def partial_fit_transform(self, x: sp.spmatrix, item_features=None,
@@ -273,6 +274,8 @@ class RankMF(MatrixFactorizationRecommender):
         csr.sort_indices()
         n_user, n_item = csr.shape
         self.item_ids = get_names(x, 1)
+        self._identity_item_feats = item_features is None
+        self._identity_user_feats = user_features is None
         if item_features is None:
             item_features = sp.identity(n_item, format="csr")
         if user_features is None:
@@ -338,17 +341,43 @@ class RankMF(MatrixFactorizationRecommender):
         self._accW, self._accH = accW, accH
 
         # final embeddings = features x feature-embeddings
-        # (reference R/model_RankMF.R:154-159)
-        item_emb = item_features @ np.asarray(H, np.float64)
-        self.components = np.asarray(item_emb.T)
+        # (reference R/model_RankMF.R:154-159).  With identity features the
+        # embeddings ARE the tables — return the device array and defer the
+        # ``components`` materialization to first access (device->host pulls
+        # are expensive on relayed benches and wasted between online
+        # partial_fit calls).
+        self._components_cache = None
         self._components_l2 = None
-        user_emb = user_features @ np.asarray(W, np.float64)
-        return user_emb
+        if self._identity_user_feats:
+            return W
+        return user_features @ np.asarray(W, np.float64)
+
+    @property
+    def components(self):
+        if (self._components_cache is None
+                and self.item_features_embeddings is not None):
+            H = np.asarray(self.item_features_embeddings, np.float64)
+            if self._identity_item_feats:
+                self._components_cache = np.ascontiguousarray(H.T)
+            else:
+                self._components_cache = np.asarray(
+                    (self._item_features @ H).T)
+        return self._components_cache
+
+    @components.setter
+    def components(self, value):
+        self._components_cache = value
 
     def transform(self, x: sp.spmatrix):
         """Embed known users (by their trained feature embeddings)."""
         if self.user_features_embeddings is None:
             raise RuntimeError("model is not fitted")
-        uf = sp.identity(x.shape[0], format="csr") \
-            if self._user_features is None else self._user_features
-        return uf @ np.asarray(self.user_features_embeddings, np.float64)
+        if self._user_features is None or self._identity_user_feats:
+            W = self.user_features_embeddings
+            if x.shape[0] != W.shape[0]:
+                raise ValueError(
+                    f"x has {x.shape[0]} rows but the model was trained "
+                    f"with identity features for {W.shape[0]} users")
+            return W
+        return self._user_features @ np.asarray(
+            self.user_features_embeddings, np.float64)
