@@ -42,9 +42,14 @@ def exact_top_k_tournament(scores: jax.Array, k: int, group: int = 256):
     B = scores.shape[0]
     Gn = -(-n // group)
     pad = Gn * group - n
+    # live values are clamped to >= NEG_INF (finfo.min) so that the true
+    # -inf used for taken/padding entries is STRICTLY below every live
+    # value — otherwise a taken entry could be re-selected when a group's
+    # remaining values tie with the dead sentinel (duplicate indices)
+    scores = jnp.maximum(scores, NEG_INF)
     if pad:
         scores = jnp.concatenate(
-            [scores, jnp.full((B, pad), NEG_INF, scores.dtype)], axis=-1)
+            [scores, jnp.full((B, pad), -jnp.inf, scores.dtype)], axis=-1)
     sg = scores.reshape(B, Gn, group)
     gm = jnp.max(sg, axis=-1)                         # (B, Gn)
     gi = jnp.argmax(sg, axis=-1).astype(jnp.int32)
@@ -60,7 +65,7 @@ def exact_top_k_tournament(scores: jax.Array, k: int, group: int = 256):
         row = jnp.take_along_axis(sg, bg[:, None, None], 1)[:, 0]  # (B, grp)
         glob = bg[:, None] * group + col_ids
         dead = (glob[:, :, None] == taken[:, None, :]).any(-1)
-        row = jnp.where(dead, NEG_INF, row)
+        row = jnp.where(dead, -jnp.inf, row)
         onehot = grp_ids == bg[:, None]
         gm = jnp.where(onehot, jnp.max(row, axis=-1)[:, None], gm)
         gi = jnp.where(onehot,

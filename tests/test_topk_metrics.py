@@ -83,3 +83,38 @@ def test_ndcg_k():
     # no relevant items -> 0
     empty = sp.csr_matrix((1, 4))
     np.testing.assert_allclose(ndcg_k(np.array([[0, 1]]), empty), [0.0])
+
+
+def test_tournament_topk_vs_sort_oracle():
+    """exact_top_k_tournament must agree with lax.top_k on large item axes,
+    including non-divisible group sizes, ties, and k at the group boundary."""
+    import jax.numpy as jnp
+    from rsparse_tpu.ops.topk import exact_top_k_tournament
+
+    rng = np.random.default_rng(7)
+    for n, k in [(1000, 10), (1024, 10), (777, 65), (2048, 3)]:
+        s = rng.standard_normal((33, n)).astype(np.float32)
+        # inject ties and -inf runs
+        s[:, 5] = s[:, 2]
+        s[3, :50] = -np.inf
+        ts, ti = exact_top_k_tournament(jnp.asarray(s), k, group=64)
+        expect = np.argsort(-s, axis=1, kind="stable")[:, :k]
+        np.testing.assert_allclose(
+            np.asarray(ts), np.take_along_axis(s, expect, 1), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ti), expect)
+
+
+def test_tournament_topk_heavy_masking():
+    """A row whose best scores are all masked must fall back to the tail,
+    and a fully -inf row must not produce duplicate indices."""
+    import jax.numpy as jnp
+    from rsparse_tpu.ops.topk import exact_top_k_tournament
+
+    s = np.zeros((2, 512), np.float32)
+    s[0] = -np.inf
+    s[0, 300] = 1.0
+    s[1] = np.arange(512)
+    ts, ti = exact_top_k_tournament(jnp.asarray(s), 4, group=64)
+    assert np.asarray(ti)[0, 0] == 300
+    assert len(set(np.asarray(ti)[0].tolist())) == 4  # no duplicates
+    np.testing.assert_array_equal(np.asarray(ti)[1], [511, 510, 509, 508])
