@@ -270,6 +270,36 @@ def measure_rankmf(csr, rank=128):
         f"(AUC~{m.auc_history[-1]:.3f})")
 
 
+def measure_ftrl_fm(n_rows=100_000, n_feat=10_000, nnz_per_row=32, seed=0):
+    """FTRL / FM online-learning rows/s on a synthetic CSR problem
+    (reference-scale: test-ftrl.R uses 5k x 1k; this is 20x that)."""
+    from rsparse_tpu.models.ftrl import FTRL
+    from rsparse_tpu.models.fm import FactorizationMachine
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(n_rows), nnz_per_row)
+    cols = rng.integers(0, n_feat, n_rows * nnz_per_row)
+    vals = rng.standard_normal(n_rows * nnz_per_row).astype(np.float32)
+    x = sp.csr_matrix((vals, (rows, cols)), shape=(n_rows, n_feat))
+    x.sum_duplicates()
+    truth = (np.asarray(x[:, :64].sum(axis=1)).ravel() > 0).astype(np.float64)
+
+    for name, m in [
+        ("ftrl", FTRL(learning_rate=0.1, lambda_=1.0)),
+        ("fm", FactorizationMachine(rank=8, learning_rate_w=0.2)),
+    ]:
+        t0 = time.time()
+        m.partial_fit(x, truth)
+        log(f"{name} first pass (compile): {time.time()-t0:.1f}s")
+        t0 = time.time()
+        n = 3
+        for _ in range(n):
+            m.partial_fit(x, truth)
+        dt = (time.time() - t0) / n
+        acc = float(((m.predict(x) > 0.5) == truth).mean())
+        log(f"{name}: {n_rows/dt:,.0f} rows/s "
+            f"({x.nnz} nnz, train acc {acc:.3f})")
+
+
 def measure_quality_ml100k():
     """Driver config #1 quality gate: WRMF implicit CG rank 10 on the
     bundled real ML-100k, NDCG@10 / MAP@10 on held-out interactions."""
@@ -326,6 +356,7 @@ def main():
             sp.csr_matrix(csr[:16384]))),
         ("rankmf", lambda: None if quick else measure_rankmf(
             sp.csr_matrix(csr[:16384]))),
+        ("ftrl_fm", lambda: None if quick else measure_ftrl_fm()),
         ("quality", lambda: None if quick else measure_quality_ml100k()),
     ]:
         try:

@@ -27,7 +27,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from ..config import resolve_dtype
-from ..sparse.device import bucket_rows
+from ..sparse.device import bucket_rows_cached
 
 CLIP_VALUE = 100.0
 
@@ -155,7 +155,7 @@ class FactorizationMachine:
         weights = (np.ones(n_rows) if weights is None
                    else np.asarray(weights, np.float64))
 
-        br = bucket_rows(csr, self.dtype, include_empty=True,
+        br = bucket_rows_cached(csr, self.dtype, include_empty=True,
                          max_elems=1 << 20)
         yd = jnp.asarray(y, self.dtype)
         wd = jnp.asarray(weights, self.dtype)

@@ -26,7 +26,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from ..config import logger, resolve_dtype
-from ..sparse.device import bucket_rows
+from ..sparse.device import bucket_rows_cached
 
 _FAMILY_CODES = {"binomial": 1, "gaussian": 2, "poisson": 3}
 CLIP_GRAD = 1000.0
@@ -144,7 +144,7 @@ class FTRL:
         weights = (np.ones(n_rows) if weights is None
                    else np.asarray(weights, np.float64))
 
-        br = bucket_rows(csr, self.dtype, include_empty=True,
+        br = bucket_rows_cached(csr, self.dtype, include_empty=True,
                          max_elems=1 << 20)
         y_hat = np.empty(n_rows, np.float64)
         yd = jnp.asarray(y, self.dtype)

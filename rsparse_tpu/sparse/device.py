@@ -289,3 +289,40 @@ def split_hot_cold(
                    W=jnp.asarray(W, w_dtype),
                    row_nnz=jnp.asarray(row_nnz_total))
     return blk, cold
+
+
+# -- staged-bucket cache ------------------------------------------------------
+
+_BUCKET_CACHE: dict = {}
+_BUCKET_CACHE_MAX = 4
+
+
+def _csr_fingerprint(csr: sp.csr_matrix) -> tuple:
+    """Cheap content fingerprint of a CSR matrix (adler32 of the three
+    constituent arrays) — a few ms, vs. ~seconds to restage the device
+    buckets through a slow host->device link."""
+    import zlib
+    return (csr.shape, csr.nnz,
+            zlib.adler32(np.ascontiguousarray(csr.data)),
+            zlib.adler32(np.ascontiguousarray(csr.indices)),
+            zlib.adler32(np.ascontiguousarray(csr.indptr)))
+
+
+def bucket_rows_cached(x: sp.spmatrix, dtype=jnp.float32,
+                       **kwargs) -> BucketedRows:
+    """:func:`bucket_rows` with a small content-addressed cache.
+
+    Online models (FTRL / FM / GloVe epochs) call partial_fit repeatedly on
+    the same matrix; without the cache every call re-buckets on the host
+    and re-stages ~8 B/nnz to the device.  Keyed by content fingerprint, so
+    in-place mutation of the caller's arrays is detected."""
+    csr = sp.csr_matrix(x)
+    key = (_csr_fingerprint(csr), str(jnp.dtype(dtype)),
+           tuple(sorted(kwargs.items())))
+    hit = _BUCKET_CACHE.pop(key, None)
+    if hit is None:
+        hit = bucket_rows(csr, dtype, **kwargs)
+    _BUCKET_CACHE[key] = hit                   # re-insert: LRU order
+    while len(_BUCKET_CACHE) > _BUCKET_CACHE_MAX:
+        _BUCKET_CACHE.pop(next(iter(_BUCKET_CACHE)))
+    return hit
