@@ -183,13 +183,21 @@ def measure_glove(vocab=50_000, nnz=8_000_000, rank=128, seed=0):
     v = 1.0 + rng.exponential(5.0, nnz)
     tcm = sp.coo_matrix((v, (i, j)), shape=(vocab, vocab))
     tcm.sum_duplicates()
-    # time warm epochs against device-resident shards (host->device transfer
-    # through the bench tunnel is slow and not part of the metric)
-    import jax
+    # time warm epochs against device-resident shards + dense head block
+    # (host->device transfer through the bench tunnel is slow and not part
+    # of the metric)
     import jax.numpy as jnp
-    from rsparse_tpu.models.glove import (GloveState, _glove_epoch,
-                                          _stack_coo)
-    shards = _stack_coo(tcm, 1 << 16, jnp.float32)
+    from rsparse_tpu.models.glove import (GloveState, _glove_dense_step,
+                                          _glove_epoch, _head_grids,
+                                          _split_head, _stack_coo)
+    hot_ids, X_hh, rem = _split_head(tcm, int((1 << 29) ** 0.5))
+    grids = None
+    if hot_ids is not None:
+        grids = _head_grids(X_hh, hot_ids, jnp.float32, 1 << 16)
+        log(f"glove head block: {len(hot_ids)} tokens, "
+            f"{tcm.nnz - rem.nnz}/{tcm.nnz} nnz dense, "
+            f"{grids[0].shape[0]} tiles")
+    shards = _stack_coo(rem, 1 << 16, jnp.float32)
     r2 = np.random.default_rng(seed)
     st = GloveState(
         w_i=jnp.asarray(r2.uniform(-0.5, 0.5, (vocab, rank)), jnp.float32),
@@ -200,19 +208,29 @@ def measure_glove(vocab=50_000, nnz=8_000_000, rank=128, seed=0):
         acc_w_j=jnp.ones((vocab, rank), jnp.float32),
         acc_b_i=jnp.ones((vocab,), jnp.float32),
         acc_b_j=jnp.ones((vocab,), jnp.float32))
+
+    def epoch(st):
+        c = 0.0
+        if grids is not None:
+            st, ch = _glove_dense_step(st, *grids,
+                                       x_max=100.0, alpha=0.75, lr=0.05)
+            c = ch
+        st, ce = _glove_epoch(st, *shards, x_max=100.0, alpha=0.75, lr=0.05)
+        return st, c + ce
+
     t0 = time.time()
-    st, c = _glove_epoch(st, *shards, x_max=100.0, alpha=0.75, lr=0.05)
+    st, c = epoch(st)
     float(c)
     log(f"glove first epoch (compile): {time.time()-t0:.1f}s")
     times = []
     for _ in range(3):
         t0 = time.time()
-        st, c = _glove_epoch(st, *shards, x_max=100.0, alpha=0.75, lr=0.05)
+        st, c = epoch(st)
         float(c)
         times.append(time.time() - t0)
     dt = min(times)
     log(f"glove: {dt*1e3:.0f} ms/epoch -> {tcm.nnz/dt/1e6:.1f} M triplets/s "
-        f"(vocab={vocab}, nnz={tcm.nnz})")
+        f"(vocab={vocab}, nnz={tcm.nnz}, loss/nnz {float(c)/tcm.nnz:.3f})")
 
 
 def measure_soft_impute(csr, rank=256):

@@ -130,3 +130,73 @@ def test_ftrl_dropout_runs():
     m = FTRL(learning_rate=0.05, dropout=0.3, seed=0)
     m.fit(x, y, n_iter=2)
     assert np.isfinite(m.coef()).all()
+
+
+def test_glove_dense_head_step_matches_sparse_shard():
+    """_glove_dense_step is exactly one _glove_epoch shard containing every
+    head-head triplet (same minibatch semantics, dense aggregation)."""
+    import jax.numpy as jnp
+    from rsparse_tpu.models.glove import (GloveState, _glove_dense_step,
+                                          _glove_epoch)
+
+    rng = np.random.default_rng(5)
+    H, r = 12, 6
+    X = np.zeros((H, H))
+    mask = rng.random((H, H)) < 0.4
+    X[mask] = 1.0 + rng.exponential(3.0, mask.sum())
+
+    def mkstate():
+        return GloveState(
+            w_i=jnp.asarray(rng2.uniform(-0.5, 0.5, (H, r))),
+            w_j=jnp.asarray(rng2.uniform(-0.5, 0.5, (H, r))),
+            b_i=jnp.asarray(rng2.uniform(-0.5, 0.5, (H,))),
+            b_j=jnp.asarray(rng2.uniform(-0.5, 0.5, (H,))),
+            acc_w_i=jnp.ones((H, r)), acc_w_j=jnp.ones((H, r)),
+            acc_b_i=jnp.ones((H,)), acc_b_j=jnp.ones((H,)))
+
+    rng2 = np.random.default_rng(6)
+    s1 = mkstate()
+    rng2 = np.random.default_rng(6)
+    s2 = mkstate()
+
+    # dense head step (single chunk at this size -> exactly one shard)
+    from rsparse_tpu.models.glove import _head_grids
+    hot_np = np.arange(H, dtype=np.int32)
+    rows, cols, xgrid = _head_grids(X, hot_np, jnp.float64, batch_size=8192)
+    assert rows.shape[0] == 1
+    out_d, loss_d = _glove_dense_step(s1, rows, cols, xgrid,
+                                      x_max=10.0, alpha=0.75, lr=0.05)
+
+    # one sparse shard with the same triplets
+    coo = sp.coo_matrix(X)
+    n = coo.nnz
+    rows = jnp.asarray(coo.row, jnp.int32)[None, :]
+    cols = jnp.asarray(coo.col, jnp.int32)[None, :]
+    vals = jnp.asarray(coo.data)[None, :]
+    valid = jnp.ones((1, n), bool)
+    out_s, loss_s = _glove_epoch(s2, rows, cols, vals, valid,
+                                 x_max=10.0, alpha=0.75, lr=0.05)
+
+    np.testing.assert_allclose(float(loss_d), float(loss_s), rtol=1e-10)
+    for a, b in zip(out_d, out_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12)
+
+
+def test_glove_head_split_convergence():
+    """Fit with and without the dense head block: both converge to similar
+    cost on the reference-style crossprod co-occurrence."""
+    from rsparse_tpu.models.glove import GloVe
+    rng = np.random.default_rng(7)
+    m = sp.random(200, 80, 0.2, random_state=7, format="csr")
+    tcm = sp.coo_matrix((m.T @ m))
+    tcm.setdiag(0)
+    tcm.eliminate_zeros()
+    tcm = sp.coo_matrix(np.abs(tcm.toarray()) + 0.0)
+    c = []
+    for n_hot in (0, 32):
+        g = GloVe(rank=8, x_max=10, learning_rate=0.1, seed=0, n_hot=n_hot)
+        g.fit_transform(tcm, n_iter=6)
+        c.append(g.cost_history[-1])
+    assert c[0] == c[0] and c[1] == c[1]          # no NaNs
+    assert abs(c[0] - c[1]) / max(c[0], 1e-9) < 0.25
