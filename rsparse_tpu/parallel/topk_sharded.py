@@ -19,6 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from rsparse_tpu.ops.topk import exact_top_k_tournament
+
 NEG_INF = float(np.finfo(np.float32).min)
 
 
@@ -55,7 +57,9 @@ def sharded_top_k(
         scores = jnp.dot(x_l, y_l, preferred_element_type=jnp.float32) + gm
         if m_l is not None:
             scores = jnp.where(m_l, NEG_INF, scores)
-        s, i = jax.lax.top_k(scores, k)
+        # tournament formulation: one pass over the shard's scores + k tiny
+        # group re-scans, vs ~40 bitonic passes for lax.top_k (see ops/topk.py)
+        s, i = exact_top_k_tournament(scores, k)
         # globalize indices: offset by this shard's item base
         base = jax.lax.axis_index(axis) * shard
         i = i.astype(jnp.int32) + base
