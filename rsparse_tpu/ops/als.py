@@ -68,11 +68,13 @@ class ALSConfig:
     #: dtype of the gathered factor blocks fed to the MXU ("bfloat16" halves
     #: HBM traffic of the hot gathers; accumulation stays float32)
     compute_dtype: str = "float32"
-    #: route eligible CG buckets through the fused Gram-form Pallas kernel
-    #: (ops/pallas_gram.py) when the padded row length is at least
-    #: ``pallas_min_len`` (below the crossover XLA's streaming CG wins;
-    #: above it the single-HBM-pass Gram kernel wins)
+    #: route eligible CG buckets through a fused Pallas kernel.  Variants:
+    #: "fused" (ops/pallas_sweep.py — whole-solve kernel, one HBM read of
+    #: the gathered block, in-kernel dense-head terms, any L), or the older
+    #: "gram" / "cg" kernels (ops/pallas_gram.py / ops/pallas_cg.py) which
+    #: engage only when the padded row length is >= ``pallas_min_len``.
     use_pallas: bool = False
+    pallas_variant: str = "fused"
     pallas_min_len: int = 256
     #: solve rows with zero total nnz too (implicit global-bias semantics,
     #: wrmf_implicit.hpp:180).  Only consulted on the hot/cold-split path,
@@ -133,7 +135,28 @@ def _solve_bucket_implicit(
     normal equations, partitioned by item set, with zero per-nnz gathers for
     the head.
     """
-    if (cfg.use_pallas and cfg.solver == CONJUGATE_GRADIENT
+    if (cfg.use_pallas and cfg.pallas_variant == "fused"
+            and cfg.solver == CONJUGATE_GRADIENT and not cfg.with_biases
+            and sdt == jnp.float32):
+        from .pallas_sweep import (fused_implicit_solve,
+                                   fused_implicit_supported)
+        B, L = bucket.col_idx.shape
+        d = src_act.shape[1]
+        gdt = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+               else jnp.float32)
+        H = 0 if hot_W is None else hot_W.shape[1]
+        if fused_implicit_supported(B, L, d, jnp.dtype(gdt).itemsize, H):
+            src_g = jax.lax.optimization_barrier(src_act.astype(gdt))
+            Xg = src_g[bucket.col_idx]
+            return fused_implicit_solve(
+                XtX, rhs_init, Xg, bucket.values, bucket.nnz, x_init,
+                lam, g,
+                W=None if hot_W is None else hot_W.astype(gdt),
+                Vh=None if V_hot is None else V_hot.astype(gdt),
+                cg_steps=cfg.cg_steps)
+
+    if (cfg.use_pallas and cfg.pallas_variant in ("gram", "cg")
+            and cfg.solver == CONJUGATE_GRADIENT
             and not cfg.with_biases and sdt == jnp.float32
             and hot_W is None
             and bucket.pad_len >= cfg.pallas_min_len):
@@ -161,7 +184,13 @@ def _solve_bucket_implicit(
     mask = bucket.mask()
     gdt = (jnp.bfloat16 if (cfg.compute_dtype == "bfloat16"
                             and sdt == jnp.float32) else sdt)
-    Xg = src_act[bucket.col_idx].astype(gdt)             # (B, L, d)
+    # Gather from a shadow table pre-cast to the compute dtype (bf16 rows
+    # fetch slightly FASTER than f32 rows on v5e — 290M vs 267M rows/s,
+    # scripts/exp_gather.py — and halve the random-read bytes); the barrier
+    # pins the cast BEFORE the gather so XLA cannot commute it back onto the
+    # gather output (which would re-read f32 rows).
+    src_g = jax.lax.optimization_barrier(src_act.astype(gdt))
+    Xg = src_g[bucket.col_idx]                               # (B, L, d)
     c = bucket.values.astype(sdt)
     cm = jnp.where(mask, c, 0.0)
     cm1 = jnp.where(mask, c - 1.0, 0.0)
@@ -184,12 +213,15 @@ def _solve_bucket_implicit(
 
     if hot_W is not None:
         # dense head terms (no per-nnz gathers): Wc = c (0 = absent),
-        # W1 = c - 1 on present entries
+        # W1 = c - 1 on present entries.  All (B, H) intermediates stay in
+        # the compute dtype — the hot chain is W-block-bandwidth-bound and
+        # f32 copies of the 512 MB block double its cost (PERF.md).
         Vh = V_hot.astype(gdt)                           # (H, d)
-        Wc = hot_W.astype(sdt)
-        W1 = jnp.where(Wc > 0, Wc - 1.0, 0.0)
-        ce_hot = Wc if offs is None else Wc - W1 * g     # per-entity bias: n/a
-        rhs = rhs + jnp.einsum("bh,hd->bd", ce_hot.astype(gdt), Vh,
+        Wc = hot_W.astype(gdt)
+        W1 = jnp.where(Wc > 0, Wc - jnp.asarray(1.0, gdt),
+                       jnp.asarray(0.0, gdt))
+        ce_hot = Wc if offs is None else Wc - W1 * g.astype(gdt)
+        rhs = rhs + jnp.einsum("bh,hd->bd", ce_hot, Vh,
                                preferred_element_type=sdt)
 
     if cfg.solver == CONJUGATE_GRADIENT:
@@ -199,9 +231,11 @@ def _solve_bucket_implicit(
             out = p @ XtX + jnp.einsum("bl,bld->bd", t.astype(gdt), Xg,
                                        preferred_element_type=sdt)
             if hot_W is not None:
-                th = jnp.einsum("bd,hd->bh", p.astype(gdt), Vh,
-                                preferred_element_type=sdt) * W1
-                out = out + jnp.einsum("bh,hd->bd", th.astype(gdt), Vh,
+                # th materializes (B, H); keep it in the compute dtype
+                th = (jnp.einsum("bd,hd->bh", p.astype(gdt), Vh,
+                                 preferred_element_type=sdt).astype(gdt)
+                      * W1)
+                out = out + jnp.einsum("bh,hd->bd", th, Vh,
                                        preferred_element_type=sdt)
             return out
         y = batched_cg(matvec, rhs, x_init.astype(sdt), cfg.cg_steps)
@@ -226,10 +260,12 @@ def _solve_bucket_implicit(
         base = base - xb
     loss = jnp.einsum("bl,bl->b", cm, base * base) + lam * jnp.sum(y * y, -1)
     if hot_W is not None:
+        # loss stays f32 (pred_h error would otherwise square into the
+        # convergence metric); XLA fuses the Wc cast into the reduction
         pred_h = jnp.einsum("bd,hd->bh", y.astype(gdt), Vh,
                             preferred_element_type=sdt)
         base_h = (1.0 - g) - pred_h if cfg.use_global_bias else 1.0 - pred_h
-        loss = loss + jnp.einsum("bh,bh->b", Wc, base_h * base_h)
+        loss = loss + jnp.einsum("bh,bh->b", Wc.astype(sdt), base_h * base_h)
     return y, loss
 
 
