@@ -141,33 +141,38 @@ def measure_topk(csr, rank, k=10, user_chunk=4096):
 
     C = user_chunk
     n_chunks = -(-n_users // C)
-    row_nnz = np.diff(csr.indptr)
-    max_mask = max(int(np.add.reduceat(
-        row_nnz, np.arange(0, n_users, C)).max()), 1)
+    group = 256
+    n_pad = -(-n_items // group) * group
+    y_pad = jnp.concatenate(
+        [y, jnp.zeros((rank, n_pad - n_items), jnp.float32)], 1) \
+        if n_pad > n_items else y
     xs = np.zeros((n_chunks, C, rank), np.float32)
-    mrows = np.zeros((n_chunks, max_mask), np.int32)
-    mcols = np.zeros((n_chunks, max_mask), np.int32)
-    mvals = np.full((n_chunks, max_mask), np.inf, np.float32)
+    bits = np.empty((n_chunks, C, n_pad // 8), np.uint8)
     for ci, s in enumerate(range(0, n_users, C)):
         e = min(s + C, n_users)
         xs[ci, : e - s] = x[s:e]
-        p1, p2 = csr.indptr[s], csr.indptr[e]
-        if p2 > p1:
-            mrows[ci, : p2 - p1] = np.repeat(
-                np.arange(s, e, dtype=np.int32) - s,
-                np.diff(csr.indptr[s:e + 1]))
-            mcols[ci, : p2 - p1] = csr.indices[p1:p2]
-            mvals[ci, : p2 - p1] = tk.NEG_INF
-    args = (jnp.asarray(xs), y, jnp.asarray(mrows), jnp.asarray(mcols),
-            jnp.asarray(mvals), jnp.asarray(np.zeros(n_items, bool)),
-            jnp.float32(0.0))
-    ts, ti = tk._topk_scan(*args, 10)
-    float(ts[0, 0, 0])  # warm + block
+        bits[ci, : e - s] = tk.pack_mask_bits(
+            n_pad, csr=csr, rows=slice(s, e), n_rows=e - s)
+        bits[ci, e - s:] = 0
+    xs_d, bits_d = jnp.asarray(xs), jnp.asarray(bits)
+    reps = 10
+
+    @jax.jit
+    def chained(xs_d, bits_d):
+        # sustained: chained repetitions, one scalar readback (the relay's
+        # block_until_ready is lazy; see PERF.md Environment constants)
+        def step(c, _):
+            ts, _ = tk._topk_scan(xs_d + c * 1e-30, y_pad, bits_d,
+                                  jnp.float32(0.0), k)
+            return ts[0, 0, 0], None
+        c, _ = jax.lax.scan(step, jnp.float32(0), None, length=reps)
+        return c
+
+    float(chained(xs_d, bits_d))  # warm + compile
     t0 = time.time()
-    ts, ti = tk._topk_scan(*args, 10)
-    float(ts[0, 0, 0])
-    dt = time.time() - t0
-    log(f"top-k: {dt*1e3:.0f} ms -> {n_users*n_items/dt/1e9:.2f} G "
+    float(chained(xs_d, bits_d))
+    dt = (time.time() - t0) / reps
+    log(f"top-k: {dt*1e3:.1f} ms -> {n_users*n_items/dt/1e9:.2f} G "
         f"item-scores/s ({n_users/dt:,.0f} users/s, masked, k={k})")
 
 

@@ -170,13 +170,13 @@ class WRMF(MatrixFactorizationRecommender):
     def _resolve_n_hot(self, csr: sp.csr_matrix) -> int:
         """Head size for the dense zipf-head split of one sweep orientation.
 
-        Only the implicit-CG-no-bias configuration has a hot kernel path;
-        "auto" includes every column whose nnz count clears the measured
-        break-even (a cold nnz costs ~2 KB of gather+stream traffic, a hot
-        column ~12 B per target row per sweep — see PERF.md), capped by a
-        1 GB budget for the dense W block.
+        Only the CG-no-per-entity-bias configurations have a hot kernel
+        path; "auto" includes every column whose nnz count clears the
+        measured break-even (a cold nnz costs ~2 KB of gather+stream
+        traffic, a hot column ~12 B per target row per sweep — see
+        PERF.md), capped by a 1 GB budget for the dense W block.
         """
-        if (self.mesh is not None or self.feedback != "implicit"
+        if (self.mesh is not None
                 or self.solver != CONJUGATE_GRADIENT
                 or self.with_user_item_bias or self.use_pallas):
             return 0
@@ -255,16 +255,19 @@ class WRMF(MatrixFactorizationRecommender):
         csr_t = csr.T.tocsr()
         w_dt = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
                 else self.dtype)
+        with_presence = self.feedback == "explicit"
         hot_ui, cold_ui = None, csr
         n_hot_items = self._resolve_n_hot(csr)
         if n_hot_items:
             hot_ui, cold_ui = split_hot_cold(csr, n_hot_items, self.dtype,
-                                             w_dtype=w_dt)
+                                             w_dtype=w_dt,
+                                             with_presence=with_presence)
         hot_iu, cold_iu = None, csr_t
         n_hot_users = self._resolve_n_hot(csr_t)
         if n_hot_users:
             hot_iu, cold_iu = split_hot_cold(csr_t, n_hot_users, self.dtype,
-                                             w_dtype=w_dt)
+                                             w_dtype=w_dt,
+                                             with_presence=with_presence)
         if n_hot_items or n_hot_users:
             logger.info("zipf-head split: %d hot items (%.0f%% nnz), "
                         "%d hot users (%.0f%% nnz)",

@@ -277,15 +277,26 @@ def _solve_bucket_explicit(
     lam: jax.Array,
     cfg: ALSConfig,
     sdt,
+    hot_W: Optional[jax.Array] = None,     # (B, H) dense hot ratings
+    V_hot: Optional[jax.Array] = None,     # (H, d) hot source factors
+    hot_bits: Optional[jax.Array] = None,  # (B, ceil(H/8)) presence bits
+    nnz_total: Optional[jax.Array] = None,  # (B,) total row nnz (hot + cold)
 ) -> Tuple[jax.Array, jax.Array]:
     """One bucket of explicit-feedback (observed-entries-only) solves.
 
     Math of ``als_explicit`` (reference inst/include/wrmf_explicit.hpp:34-132):
     lhs = Xg' Xg + lambda_use I,  rhs = Xg' (r - x_bias),
     lambda_use = lambda * nnz when dynamic (wrmf_explicit.hpp:78).
+
+    With a hot/cold split the head columns' terms are dense MXU matmuls
+    (same partition-by-column-set algebra as the implicit path).  Presence
+    of an observed entry is a packed bitmask (``hot_bits``) because a 0.0
+    rating is a legal observed value: zero ratings contribute nothing to the
+    rhs, but their ``v v'`` term still enters the lhs matvec and the loss.
     """
     if (cfg.use_pallas and cfg.solver == CONJUGATE_GRADIENT
             and not cfg.with_biases and sdt == jnp.float32
+            and hot_W is None
             and bucket.pad_len >= cfg.pallas_min_len):
         from .pallas_gram import gram_cg_explicit, gram_cg_supported
         B, L = bucket.col_idx.shape
@@ -298,23 +309,48 @@ def _solve_bucket_explicit(
                 mxu_bf16=(cfg.compute_dtype == "bfloat16"))
 
     mask = bucket.mask()
-    Xg = src_act[bucket.col_idx].astype(sdt) * mask[..., None]
+    gdt = (jnp.bfloat16 if (cfg.compute_dtype == "bfloat16"
+                            and sdt == jnp.float32) else sdt)
+    # shadow-table cast before the gather (see the implicit path): halves
+    # the random-read bytes of the hot gather and pins the cast src-side
+    src_g = jax.lax.optimization_barrier(src_act.astype(gdt))
+    Xg = jnp.where(mask[..., None], src_g[bucket.col_idx],
+                   jnp.asarray(0.0, gdt))              # (B, L, d)
     conf = jnp.where(mask, bucket.values.astype(sdt), 0.0)
     if cfg.with_biases:
         xb = x_biases[bucket.col_idx].astype(sdt)
         conf = conf - jnp.where(mask, xb, 0.0)
 
-    nnz = bucket.nnz.astype(sdt)
+    nnz = (bucket.nnz if nnz_total is None else nnz_total).astype(sdt)
     lam_use = lam * nnz if cfg.dynamic_lambda else jnp.full_like(nnz, lam)
 
-    rhs = jnp.einsum("bld,bl->bd", Xg, conf, preferred_element_type=sdt)
+    rhs = jnp.einsum("bld,bl->bd", Xg, conf.astype(gdt),
+                     preferred_element_type=sdt)
+    if hot_W is not None:
+        from .topk import _expand_bits
+        Vh = V_hot.astype(gdt)                         # (H, d)
+        Wv = hot_W.astype(gdt)                         # ratings, absent = 0
+        H = Wv.shape[1]
+        Mh = _expand_bits(hot_bits)[:, :H]             # (B, H) present
+        # absent cells carry Wv == 0 and present zero-ratings contribute
+        # nothing to the rhs either, so no presence mask is needed here
+        rhs = rhs + jnp.einsum("bh,hd->bd", Wv, Vh,
+                               preferred_element_type=sdt)
 
     if cfg.solver == CONJUGATE_GRADIENT:
         def matvec(p):
-            t = jnp.einsum("bld,bd->bl", Xg, p, preferred_element_type=sdt)
-            return (jnp.einsum("bl,bld->bd", t, Xg,
-                               preferred_element_type=sdt)
-                    + lam_use[:, None] * p)
+            t = jnp.einsum("bld,bd->bl", Xg, p.astype(gdt),
+                           preferred_element_type=sdt)
+            out = (jnp.einsum("bl,bld->bd", t.astype(gdt), Xg,
+                              preferred_element_type=sdt)
+                   + lam_use[:, None] * p)
+            if hot_W is not None:
+                th = jnp.einsum("bd,hd->bh", p.astype(gdt), Vh,
+                                preferred_element_type=sdt)
+                th = jnp.where(Mh, th, 0.0).astype(gdt)
+                out = out + jnp.einsum("bh,hd->bd", th, Vh,
+                                       preferred_element_type=sdt)
+            return out
         y = batched_cg(matvec, rhs, x_init.astype(sdt), cfg.cg_steps)
     else:
         d = Xg.shape[-1]
@@ -329,20 +365,29 @@ def _solve_bucket_explicit(
         else:
             y = batched_spd_solve(lhs, rhs)
 
-    pred = jnp.einsum("bld,bd->bl", Xg, y, preferred_element_type=sdt)
-    diff = conf - pred
+    pred = jnp.einsum("bld,bd->bl", Xg, y.astype(gdt),
+                      preferred_element_type=sdt)
+    diff = conf - jnp.where(mask, pred, 0.0)
     loss = jnp.sum(diff * diff, -1) + lam_use * jnp.sum(y * y, -1)
+    if hot_W is not None:
+        pred_h = jnp.einsum("bd,hd->bh", y.astype(gdt), Vh,
+                            preferred_element_type=sdt)
+        diff_h = jnp.where(Mh, hot_W.astype(sdt) - pred_h, 0.0)
+        loss = loss + jnp.sum(diff_h * diff_h, -1)
     return y, loss
 
 
 def _check_hot_supported(hot, cfg: ALSConfig):
     if hot is None:
         return
-    if cfg.with_biases or cfg.solver != CONJUGATE_GRADIENT \
-            or cfg.feedback != "implicit":
+    if cfg.with_biases or cfg.solver != CONJUGATE_GRADIENT:
         raise NotImplementedError(
-            "hot/cold split currently supports implicit feedback with the "
-            "conjugate-gradient solver and no per-entity biases")
+            "hot/cold split currently supports the conjugate-gradient "
+            "solver and no per-entity biases")
+    if cfg.feedback == "explicit" and hot.present_bits is None:
+        raise ValueError(
+            "explicit-feedback hot block needs presence bits; build it "
+            "with split_hot_cold(..., with_presence=True)")
 
 
 def _sweep_prepare(src, lam, g, cfg: ALSConfig, sdt):
@@ -374,16 +419,15 @@ def _sweep_prepare(src, lam, g, cfg: ALSConfig, sdt):
 
 
 def _solve_one_bucket(src_act, x_biases, XtX, rhs_init, bucket, x_init,
-                      lam, g, cfg: ALSConfig, sdt, hot_W=None, V_hot=None):
+                      lam, g, cfg: ALSConfig, sdt, hot_W=None, V_hot=None,
+                      hot_bits=None, nnz_total=None):
     if cfg.feedback == "implicit":
         return _solve_bucket_implicit(
             src_act, x_biases, XtX, rhs_init, bucket, x_init, lam, g, cfg,
             sdt, hot_W=hot_W, V_hot=V_hot)
-    if hot_W is not None:
-        raise NotImplementedError(
-            "hot/cold split is implemented for implicit CG only")
     return _solve_bucket_explicit(src_act, x_biases, bucket, x_init, lam,
-                                  cfg, sdt)
+                                  cfg, sdt, hot_W=hot_W, V_hot=V_hot,
+                                  hot_bits=hot_bits, nnz_total=nnz_total)
 
 
 def _src_reg_loss(src, src_cnt, lam, cfg: ALSConfig, sdt):
@@ -420,15 +464,20 @@ def _solve_scatter(result_act, src_act, x_biases, XtX, rhs_init,
     ids = jnp.minimum(bucket.row_ids, n_tgt - 1)
     valid = bucket.row_ids < n_tgt
     x_init = old_act[ids]
-    hot_W = None
+    hot_W = hot_bits = nnz_total = None
     if hot is not None:
         hot_W = hot.W[ids]
+        if hot.present_bits is not None:
+            hot_bits = hot.present_bits[ids]
+        if cfg.feedback == "explicit" and cfg.dynamic_lambda:
+            nnz_total = hot.row_nnz[ids]
         if not cfg.solve_empty:
             # rows with zero TOTAL nnz keep the excluded-row semantics (y=0)
             valid = valid & (hot.row_nnz[ids] > 0)
     y, le = _solve_one_bucket(src_act, x_biases, XtX, rhs_init, bucket,
                               x_init, lam, g, cfg, sdt,
-                              hot_W=hot_W, V_hot=V_hot)
+                              hot_W=hot_W, V_hot=V_hot,
+                              hot_bits=hot_bits, nnz_total=nnz_total)
     y = jnp.where(valid[:, None], y, 0.0).astype(result_act.dtype)
     loss = jnp.sum(jnp.where(valid, le, 0.0))
     return result_act.at[bucket.row_ids].set(y), loss

@@ -5,9 +5,16 @@ through a size-k min-heap with per-user ``not_recommend`` masking and a
 global exclude set (reference src/matrix_top_product.cpp:20-102, R wrapper
 ``find_top_product`` R/utils.R:31-59).  On TPU the same result comes from a
 single jitted ``lax.scan`` over user chunks: a dense MXU matmul per chunk
-(``scores = U_chunk @ V``), masks applied as ``-inf`` scatters from
-device-resident padded COO, and ``lax.top_k``.  Everything is staged to the
-device once — per-chunk host round-trips would dominate otherwise.
+(``scores = U_chunk @ V``) followed by a masked tournament top-k.
+
+Masks travel as **packed bitmasks** ((users, items/8) uint8, little-endian
+bit order), not as ``-inf`` scatters: a random scatter of mask entries into
+the (users, items) score matrix costs ~70M element-scatters/s on TPU and
+dominated retrieval (PERF.md); the bitmask instead expands with three VPU
+ops (shift/and/compare) that XLA fuses directly into the tournament's single
+full pass over the scores — the mask never touches HBM as a full-size
+tensor.  Everything is staged to the device once — per-chunk host
+round-trips would dominate otherwise.
 """
 
 from __future__ import annotations
@@ -23,6 +30,55 @@ import scipy.sparse as sp
 NEG_INF = float(np.finfo(np.float32).min)
 
 
+def _tournament_steps(sg: jax.Array, bg, k: int, gmean,
+                      pre_clamped: bool = False):
+    """Shared tournament engine over grouped scores.
+
+    sg: (B, Gn, group) raw scores; bg: optional (B, Gn, group // 8) packed
+    mask bits.  Builds per-group (max, argmax) tables in one fused pass,
+    then runs k take/re-scan rounds.  A taken entry is killed with a single
+    lexicographic threshold — ``(value, -col)`` strictly decreases along a
+    group's take sequence, so comparing against the entry just taken also
+    kills every earlier take from that group (no O(k) taken-list compare).
+    """
+    B, Gn, group = sg.shape
+
+    def maskify(s, b):
+        live = s if pre_clamped else jnp.maximum(s + gmean, NEG_INF)
+        if b is None:
+            return live
+        return jnp.where(_expand_bits(b), -jnp.inf, live)
+
+    m = maskify(sg, bg)                     # fused into the two reduces
+    gm = jnp.max(m, axis=-1)                                  # (B, Gn)
+    gi = jnp.argmax(m, axis=-1).astype(jnp.int32)
+    col_ids = jnp.arange(group, dtype=jnp.int32)[None, :]
+    grp_ids = jnp.arange(Gn, dtype=jnp.int32)[None, :]
+
+    def step(carry, _):
+        gm, gi = carry
+        bgrp = jnp.argmax(gm, axis=-1).astype(jnp.int32)      # (B,)
+        bs = jnp.take_along_axis(gm, bgrp[:, None], 1)[:, 0]
+        bloc = jnp.take_along_axis(gi, bgrp[:, None], 1)[:, 0]
+        bi = bgrp * group + bloc
+        row_s = jnp.take_along_axis(sg, bgrp[:, None, None], 1)[:, 0]
+        row_b = None if bg is None else \
+            jnp.take_along_axis(bg, bgrp[:, None, None], 1)[:, 0]
+        row = maskify(row_s, row_b)                           # (B, group)
+        dead = (row > bs[:, None]) | ((row == bs[:, None])
+                                      & (col_ids <= bloc[:, None]))
+        row = jnp.where(dead, -jnp.inf, row)
+        onehot = grp_ids == bgrp[:, None]
+        gm = jnp.where(onehot, jnp.max(row, axis=-1)[:, None], gm)
+        gi = jnp.where(onehot,
+                       jnp.argmax(row, axis=-1).astype(jnp.int32)[:, None],
+                       gi)
+        return (gm, gi), (bs, bi)
+
+    _, (ss, ii) = jax.lax.scan(step, (gm, gi), None, length=k)
+    return ss.T, ii.T.astype(jnp.int32)
+
+
 def exact_top_k_tournament(scores: jax.Array, k: int, group: int = 256):
     """Exact top-k as a tournament with replacement: one full pass builds
     per-group (max, argmax) tables, then k cheap iterations each pick the
@@ -34,6 +90,12 @@ def exact_top_k_tournament(scores: jax.Array, k: int, group: int = 256):
     gathers — measured 3.6x faster end-to-end at (4096, 32768), exact
     index agreement (scripts/exp_topk2.py).  Ties resolve to the lowest
     index, matching stable ``lax.top_k``.
+
+    Taken entries are killed by a single lexicographic threshold against
+    the entry just taken — a group's take sequence is strictly decreasing
+    in (value, -col) order, so every earlier take from the same group
+    compares above the current one and one (value, col) pair per step
+    suffices (no O(k) taken-list compare).
     """
     n = scores.shape[-1]
     if n <= max(2 * group, 2 * k) or scores.ndim != 2:
@@ -51,31 +113,87 @@ def exact_top_k_tournament(scores: jax.Array, k: int, group: int = 256):
         scores = jnp.concatenate(
             [scores, jnp.full((B, pad), -jnp.inf, scores.dtype)], axis=-1)
     sg = scores.reshape(B, Gn, group)
-    gm = jnp.max(sg, axis=-1)                         # (B, Gn)
-    gi = jnp.argmax(sg, axis=-1).astype(jnp.int32)
-    col_ids = jnp.arange(group, dtype=jnp.int32)[None, :]
-    grp_ids = jnp.arange(Gn, dtype=jnp.int32)[None, :]
+    return _tournament_steps(sg, None, k, jnp.asarray(0.0, scores.dtype),
+                             pre_clamped=True)
 
-    def step(carry, _):
-        gm, gi, taken = carry                         # taken: (B, k) global
-        bg = jnp.argmax(gm, axis=-1).astype(jnp.int32)  # (B,) best group
-        bs = jnp.take_along_axis(gm, bg[:, None], 1)[:, 0]
-        bi = bg * group + jnp.take_along_axis(gi, bg[:, None], 1)[:, 0]
-        taken = jnp.concatenate([taken[:, 1:], bi[:, None]], axis=1)
-        row = jnp.take_along_axis(sg, bg[:, None, None], 1)[:, 0]  # (B, grp)
-        glob = bg[:, None] * group + col_ids
-        dead = (glob[:, :, None] == taken[:, None, :]).any(-1)
-        row = jnp.where(dead, -jnp.inf, row)
-        onehot = grp_ids == bg[:, None]
-        gm = jnp.where(onehot, jnp.max(row, axis=-1)[:, None], gm)
-        gi = jnp.where(onehot,
-                       jnp.argmax(row, axis=-1).astype(jnp.int32)[:, None],
-                       gi)
-        return (gm, gi, taken), (bs, bi)
 
-    taken0 = jnp.full((B, k), -1, jnp.int32)
-    _, (ss, ii) = jax.lax.scan(step, (gm, gi, taken0), None, length=k)
-    return ss.T, ii.T.astype(jnp.int32)
+def _expand_bits(bits: jax.Array) -> jax.Array:
+    """(..., m) uint8 -> (..., m*8) bool, little-endian bit order (bit ``t``
+    of byte ``j`` guards column ``j*8 + t``, matching
+    ``np.packbits(..., bitorder="little")``)."""
+    t = jnp.arange(8, dtype=jnp.uint8)
+    e = (bits[..., None] >> t) & jnp.uint8(1)
+    return e.reshape(bits.shape[:-1] + (bits.shape[-1] * 8,)) != 0
+
+
+def masked_top_k_bits(scores: jax.Array, bits: jax.Array, k: int,
+                      glob_mean=0.0, group: int = 256):
+    """Exact top-k of ``scores + glob_mean`` with a packed boolean mask.
+
+    scores: (B, n) raw (un-shifted, un-masked) scores; bits: (B, n // 8)
+    uint8 with 1-bits marking masked-out columns.  ``n`` must be a multiple
+    of ``group`` (pad the *score source* — e.g. the item factor matrix —
+    with zero columns and set their mask bits; padding the score matrix here
+    would cost a full copy pass).
+
+    Same tournament structure as :func:`exact_top_k_tournament`, but the
+    mask is applied lazily: the bit expansion fuses into the one full pass
+    that builds the per-group (max, argmax) tables and into the k per-group
+    re-scans.  Masked entries read as -inf (strictly below the NEG_INF clamp
+    applied to live values, so a fully-masked group can never win a round
+    with a live-looking score).
+    """
+    B, n = scores.shape
+    if group % 8 or n % group:
+        raise ValueError(f"n={n} must be a multiple of group={group} "
+                         "(and group of 8)")
+    if bits.shape != (B, n // 8):
+        raise ValueError(f"bits shape {bits.shape} != {(B, n // 8)}")
+    gmean = jnp.asarray(glob_mean, scores.dtype)
+
+    if n <= max(2 * group, 2 * k):
+        masked = jnp.where(_expand_bits(bits), -jnp.inf,
+                           jnp.maximum(scores + gmean, NEG_INF))
+        s, i = jax.lax.top_k(masked, k)
+        return s, i.astype(jnp.int32)
+
+    Gn = n // group
+    return _tournament_steps(scores.reshape(B, Gn, group),
+                             bits.reshape(B, Gn, group // 8), k, gmean)
+
+
+def pack_mask_bits(
+    n_cols_padded: int,
+    dense_rows: Optional[np.ndarray] = None,
+    csr: Optional[sp.spmatrix] = None,
+    rows: Optional[slice] = None,
+    exclude_mask: Optional[np.ndarray] = None,
+    n_rows: Optional[int] = None,
+) -> np.ndarray:
+    """Host-side packed-bitmask builder for :func:`masked_top_k_bits`.
+
+    Combines (a) per-row masked columns from a CSR slice, (b) a global
+    column exclude mask, and (c) dead bits for padding columns beyond the
+    true item count, into a (n_rows, n_cols_padded // 8) uint8 array."""
+    if dense_rows is not None:
+        dense = dense_rows
+        n_rows = dense.shape[0]
+        if dense.shape[1] < n_cols_padded:
+            pad = np.ones((n_rows, n_cols_padded - dense.shape[1]), bool)
+            dense = np.concatenate([dense, pad], axis=1)
+    else:
+        dense = np.zeros((n_rows, n_cols_padded), bool)
+        n_true = n_cols_padded
+        if exclude_mask is not None:
+            n_true = len(exclude_mask)
+            dense[:, :n_true] = exclude_mask[None, :]
+        if csr is not None:
+            n_true = csr.shape[1]
+            sub = csr[rows] if rows is not None else csr
+            coo = sub.tocoo()
+            dense[coo.row, coo.col] = True
+        dense[:, n_true:] = True
+    return np.packbits(dense, axis=1, bitorder="little")
 
 
 def exact_top_k(scores: jax.Array, k: int, group: int = 512):
@@ -108,26 +226,31 @@ def exact_top_k(scores: jax.Array, k: int, group: int = 512):
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _topk_scan(x, y, mask_rows, mask_cols, mask_vals, exclude_mask,
-               glob_mean, k: int):
-    """x: (n_chunks, C, R); mask_rows/cols: (n_chunks, M) chunk-local rows
-    and item cols (padding entries carry +inf in ``mask_vals`` so the
-    scatter-min leaves scores untouched — no padding row / concat pass).
+def _topk_scan(x, y, bits, glob_mean, k: int):
+    """x: (n_chunks, C, R); y: (R, n_pad); bits: (n_chunks, C, n_pad // 8)
+    packed mask (per-user not_recommend | global exclude | padding columns).
     Returns ((n_chunks, C, k) scores, idx)."""
 
     def chunk(_, args):
-        xc, mrows, mcols, mvals = args
+        xc, bc = args
         scores = jnp.dot(xc, y, preferred_element_type=jnp.float32)
-        scores = scores + glob_mean
-        scores = jnp.where(exclude_mask[None, :], NEG_INF, scores)
-        # .min (not .set): padding entries carry +inf and may repeat
-        # coordinates — min is duplicate-safe, so no hints are claimed
-        scores = scores.at[mrows, mcols].min(mvals)
-        ts, ti = exact_top_k_tournament(scores, k)
+        ts, ti = masked_top_k_bits(scores, bc, k, glob_mean=glob_mean)
         return None, (ts, ti)
 
-    _, (ts, ti) = jax.lax.scan(chunk, None,
-                               (x, mask_rows, mask_cols, mask_vals))
+    _, (ts, ti) = jax.lax.scan(chunk, None, (x, bits))
+    return ts, ti
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _topk_scan_nomask(x, y, glob_mean, k: int):
+    """Mask-free variant over the true (unpadded) item axis."""
+
+    def chunk(_, xc):
+        scores = jnp.dot(xc, y, preferred_element_type=jnp.float32)
+        ts, ti = exact_top_k_tournament(scores + glob_mean, k)
+        return None, (ts, ti)
+
+    _, (ts, ti) = jax.lax.scan(chunk, None, x)
     return ts, ti
 
 
@@ -148,18 +271,19 @@ def top_product(
     (src/matrix_top_product.cpp:20-102) minus R's 1-based indexing.
     """
     x = np.asarray(x, np.float32)
-    y = jnp.asarray(y, jnp.float32)
+    y = np.asarray(y, np.float32)
     n_users, n_items = x.shape[0], y.shape[1]
     if k > n_items:
         raise ValueError(f"k={k} > n_items={n_items}")
     if n_users == 0:
         return (np.empty((0, k), np.int32), np.empty((0, k), np.float32))
 
-    exclude_mask = np.zeros((n_items,), bool)
+    exclude_mask = None
     if exclude is not None and len(exclude) > 0:
         exclude = np.asarray(exclude)
         if exclude.max() >= n_items:
             raise ValueError("some items_exclude indices are >= number of items")
+        exclude_mask = np.zeros((n_items,), bool)
         exclude_mask[exclude] = True
 
     nr = None
@@ -167,39 +291,36 @@ def top_product(
         nr = sp.csr_matrix(not_recommend)
         if nr.shape != (n_users, n_items):
             raise ValueError("not_recommend shape mismatch")
+        if nr.nnz == 0:
+            nr = None
 
     C = min(user_chunk, max(n_users, 8))
     n_chunks = -(-n_users // C)
-
-    # fixed per-chunk mask padding (one compile per (shapes, k))
-    if nr is not None and nr.nnz > 0:
-        row_nnz = np.diff(nr.indptr)
-        max_mask = max(int(np.add.reduceat(
-            row_nnz, np.arange(0, n_users, C)).max()), 1)
-    else:
-        max_mask = 1
-
     xs = np.zeros((n_chunks, C, x.shape[1]), np.float32)
-    mrows = np.zeros((n_chunks, max_mask), np.int32)
-    mcols = np.zeros((n_chunks, max_mask), np.int32)
-    mvals = np.full((n_chunks, max_mask), np.inf, np.float32)  # pad = no-op
     for ci, s in enumerate(range(0, n_users, C)):
         e = min(s + C, n_users)
         xs[ci, : e - s] = x[s:e]
-        if nr is not None and nr.nnz > 0:
-            p1, p2 = nr.indptr[s], nr.indptr[e]
-            m = p2 - p1
-            if m > 0:
-                mrows[ci, :m] = np.repeat(
-                    np.arange(s, e, dtype=np.int32) - s,
-                    np.diff(nr.indptr[s:e + 1]))
-                mcols[ci, :m] = nr.indices[p1:p2]
-                mvals[ci, :m] = NEG_INF
 
-    ts, ti = _topk_scan(jnp.asarray(xs), y, jnp.asarray(mrows),
-                        jnp.asarray(mcols), jnp.asarray(mvals),
-                        jnp.asarray(exclude_mask),
-                        jnp.float32(glob_mean), k)
+    if nr is None and exclude_mask is None:
+        ts, ti = _topk_scan_nomask(jnp.asarray(xs), jnp.asarray(y),
+                                   jnp.float32(glob_mean), k)
+    else:
+        # pad the item axis of y with zero columns to the group multiple;
+        # their mask bits are set, so they read as -inf downstream
+        group = 256
+        n_pad = -(-n_items // group) * group
+        if n_pad > n_items:
+            y = np.concatenate(
+                [y, np.zeros((y.shape[0], n_pad - n_items), y.dtype)], 1)
+        bits = np.empty((n_chunks, C, n_pad // 8), np.uint8)
+        for ci, s in enumerate(range(0, n_users, C)):
+            e = min(s + C, n_users)
+            b = pack_mask_bits(n_pad, csr=nr, rows=slice(s, e),
+                               exclude_mask=exclude_mask, n_rows=e - s)
+            bits[ci, : e - s] = b
+            bits[ci, e - s:] = 0
+        ts, ti = _topk_scan(jnp.asarray(xs), jnp.asarray(y),
+                            jnp.asarray(bits), jnp.float32(glob_mean), k)
     ts = np.asarray(ts).reshape(n_chunks * C, k)[:n_users]
     ti = np.asarray(ti).reshape(n_chunks * C, k)[:n_users]
     return ti, ts

@@ -239,11 +239,17 @@ class HotBlock(NamedTuple):
     n_hot gathered factor rows — zero per-nnz gathers.  The long tail stays
     on the bucketed-gather path.  ``W[r, j] = c`` for column ``hot_ids[j]``
     (0 = absent; implicit confidences are >= 1 so 0 is unambiguous).
+
+    For explicit feedback a 0 *rating* is a legal observed value (e.g. after
+    global-mean centering), so presence is carried separately as a packed
+    bitmask ``present_bits`` ((n_rows, ceil(H/8)) uint8, little-endian; the
+    bit-expand is three VPU ops fused into the consumer).
     """
 
     hot_ids: jax.Array        # (H,) int32 original column ids
     W: jax.Array              # (n_rows, H) confidence/rating, 0 = absent
     row_nnz: jax.Array        # (n_rows,) int32 TOTAL row nnz (hot + cold)
+    present_bits: Optional[jax.Array] = None   # (n_rows, ceil(H/8)) uint8
 
 
 def split_hot_cold(
@@ -251,11 +257,13 @@ def split_hot_cold(
     n_hot: int,
     dtype=jnp.float32,
     w_dtype=None,
+    with_presence: bool = False,
 ) -> Tuple[Optional[HotBlock], sp.csr_matrix]:
     """Split columns into a dense hot block + a cold remainder CSR.
 
     Returns ``(HotBlock | None, cold_csr)`` — the cold matrix keeps the
-    original shape and column ids (hot columns zeroed), so bucketed solves
+    original shape and column ids (hot entries removed structurally, so
+    explicitly-stored zero values elsewhere survive), and bucketed solves
     are unchanged; the hot block adds dense rhs/matvec/loss terms.
     """
     csr = sp.csr_matrix(x)
@@ -272,22 +280,37 @@ def split_hot_cold(
     hot_pos[hot_ids] = np.arange(n_hot, dtype=np.int32)
     is_hot = hot_pos[csr.indices] >= 0
 
-    rows = np.repeat(np.arange(n_rows, dtype=np.int64),
-                     np.diff(csr.indptr))[is_hot]
+    rows_all = np.repeat(np.arange(n_rows, dtype=np.int64),
+                         np.diff(csr.indptr))
+    rows = rows_all[is_hot]
+    hot_cols = hot_pos[csr.indices[is_hot]]
     # build the dense block at (no more than) the requested device width —
     # a float64 (n_rows, n_hot) intermediate is GBs at bench scale
     np_w = np.float64 if (w_dtype or dtype) == jnp.float64 else np.float32
     W = np.zeros((n_rows, n_hot), np_w)
-    W[rows, hot_pos[csr.indices[is_hot]]] = csr.data[is_hot]
+    W[rows, hot_cols] = csr.data[is_hot]
 
-    cold = csr.copy()
-    cold.data = np.where(is_hot, 0, cold.data)
-    cold.eliminate_zeros()
+    present_bits = None
+    if with_presence:
+        present = np.zeros((n_rows, -(-n_hot // 8) * 8), bool)
+        present[rows, hot_cols] = True
+        present_bits = jnp.asarray(
+            np.packbits(present, axis=1, bitorder="little"))
+
+    # structural removal of the hot entries (not eliminate_zeros, which
+    # would also drop genuine explicitly-stored zero values in the tail)
+    keep = ~is_hot
+    cold_indptr = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(np.bincount(rows_all[keep], minlength=n_rows),
+              out=cold_indptr[1:])
+    cold = sp.csr_matrix(
+        (csr.data[keep], csr.indices[keep], cold_indptr), shape=csr.shape)
 
     w_dtype = w_dtype or dtype
     blk = HotBlock(hot_ids=jnp.asarray(hot_ids),
                    W=jnp.asarray(W, w_dtype),
-                   row_nnz=jnp.asarray(row_nnz_total))
+                   row_nnz=jnp.asarray(row_nnz_total),
+                   present_bits=present_bits)
     return blk, cold
 
 

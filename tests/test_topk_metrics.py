@@ -104,6 +104,55 @@ def test_tournament_topk_vs_sort_oracle():
         np.testing.assert_array_equal(np.asarray(ti), expect)
 
 
+def test_masked_top_k_bits_vs_oracle():
+    """The packed-bitmask tournament must agree with a dense -inf oracle on
+    large item axes (the grouped path), including heavy per-row masks."""
+    import jax.numpy as jnp
+    from rsparse_tpu.ops.topk import masked_top_k_bits, pack_mask_bits
+
+    rng = np.random.default_rng(5)
+    n, k = 2048, 9
+    s = rng.standard_normal((17, n)).astype(np.float32)
+    mask = rng.random((17, n)) < 0.4
+    mask[0] = True          # fully-masked row
+    mask[1] = False         # unmasked row
+    mask[2, np.argsort(-s[2])[:200]] = True   # mask out the entire head
+    bits = np.packbits(mask, axis=1, bitorder="little")
+    ts, ti = masked_top_k_bits(jnp.asarray(s), jnp.asarray(bits), k,
+                               glob_mean=0.25)
+    dense = np.where(mask, -np.inf, s + 0.25)
+    expect = np.argsort(-dense, axis=1, kind="stable")[:, :k]
+    live = ~np.isinf(np.take_along_axis(dense, expect, 1))
+    np.testing.assert_array_equal(np.asarray(ti)[live], expect[live])
+    np.testing.assert_allclose(
+        np.asarray(ts)[live],
+        np.take_along_axis(dense, expect, 1)[live], rtol=1e-6)
+    assert np.all(np.isinf(np.asarray(ts)[0]))  # fully-masked row -> -inf
+    # pack_mask_bits helper: padding columns and exclude sets combine
+    b2 = pack_mask_bits(n, exclude_mask=np.ones(n - 8, bool), n_rows=3)
+    assert b2.shape == (3, n // 8)
+    got = np.unpackbits(b2, axis=1, bitorder="little")
+    assert got[:, : n - 8].all() and got[:, n - 8:].all()
+
+
+def test_top_product_masked_large_axis():
+    """End-to-end top_product through the grouped bitmask path (n_items not
+    a multiple of the group size -> padded item axis)."""
+    rng = np.random.default_rng(11)
+    n_items = 700
+    x = rng.standard_normal((30, 16)).astype(np.float32)
+    y = rng.standard_normal((16, n_items)).astype(np.float32)
+    nr = sp.random(30, n_items, density=0.2,
+                   random_state=np.random.RandomState(3), format="csr")
+    idx, scores = top_product(x, y, 12, not_recommend=nr, glob_mean=0.5)
+    dense = (x @ y + 0.5).astype(np.float32)
+    dense[nr.toarray() != 0] = -np.inf
+    expect = np.argsort(-dense, axis=1, kind="stable")[:, :12]
+    np.testing.assert_array_equal(idx, expect)
+    np.testing.assert_allclose(
+        scores, np.take_along_axis(dense, expect, 1), rtol=1e-5)
+
+
 def test_tournament_topk_heavy_masking():
     """A row whose best scores are all masked must fall back to the tail,
     and a fully -inf row must not produce duplicate indices."""

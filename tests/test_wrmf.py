@@ -239,3 +239,50 @@ def test_wrmf_hot_cold_empty_and_fully_hot_rows():
     np.testing.assert_allclose(e1, e0, rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(e1[5], 0.0)
     assert np.abs(e1[7]).max() > 0
+
+
+def test_wrmf_explicit_hot_cold_split_parity():
+    """Explicit-feedback dense zipf-head split: same normal equations
+    partitioned by column set -> results match the pure-bucketed path to
+    machine epsilon, including dynamic lambda and explicitly-stored zero
+    ratings (which must keep their lhs/loss contributions via the
+    presence bitmask)."""
+    rng = np.random.default_rng(6)
+    m = sp.random(100, 64, 0.25, random_state=6, format="csr")
+    m.data = np.round(1.0 + 4.0 * m.data, 2)
+    # plant explicit zero ratings on the hottest column and on a tail column
+    counts = np.bincount(m.indices, minlength=64)
+    hot_col = int(np.argmax(counts))
+    m = m.tolil()
+    m[3, hot_col] = 1e-300            # survives .tolil round-trip
+    m[4, 63] = 1e-300
+    m = sp.csr_matrix(m)
+    m.data[np.abs(m.data) < 1e-200] = 0.0   # true stored zeros
+    assert (m.data == 0.0).sum() == 2
+    for dyn in (False, True):
+        kw = dict(rank=6, lambda_=0.3, feedback="explicit",
+                  dynamic_lambda=dyn, solver="conjugate_gradient",
+                  seed=0, precision="double")
+        m0 = WRMF(n_hot=0, **kw)
+        e0 = np.asarray(m0.fit_transform(m, n_iter=3, convergence_tol=-1))
+        m1 = WRMF(n_hot=16, **kw)
+        e1 = np.asarray(m1.fit_transform(m, n_iter=3, convergence_tol=-1))
+        np.testing.assert_allclose(e1, e0, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(m1.loss_history, m0.loss_history,
+                                   rtol=1e-9)
+
+
+def test_wrmf_explicit_hot_cold_bf16_close():
+    """bfloat16 compute on the explicit hot path stays close to f32."""
+    rng = np.random.default_rng(8)
+    m = sp.random(128, 96, 0.2, random_state=8, format="csr")
+    m.data = 1.0 + 4.0 * m.data
+    kw = dict(rank=8, lambda_=0.5, feedback="explicit", seed=0,
+              solver="conjugate_gradient", n_hot=16)
+    e0 = np.asarray(WRMF(compute_dtype="float32", **kw)
+                    .fit_transform(m, n_iter=2, convergence_tol=-1))
+    e1 = np.asarray(WRMF(compute_dtype="bfloat16", **kw)
+                    .fit_transform(m, n_iter=2, convergence_tol=-1))
+    # same algorithm at reduced precision: correlation, not equality
+    denom = np.linalg.norm(e0) + 1e-30
+    assert np.linalg.norm(e1 - e0) / denom < 0.05
