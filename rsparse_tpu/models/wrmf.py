@@ -163,7 +163,7 @@ class WRMF(MatrixFactorizationRecommender):
         if self.mesh is not None:
             with self.mesh:
                 return wrmf_sweep_streamed(src, tgt, buckets, src_cnt, lam,
-                                           g, cfg)
+                                           g, cfg, hot=hot)
         return wrmf_sweep_streamed(src, tgt, buckets, src_cnt, lam, g, cfg,
                                    hot=hot)
 
@@ -176,8 +176,7 @@ class WRMF(MatrixFactorizationRecommender):
         traffic, a hot column ~12 B per target row per sweep — see
         PERF.md), capped by a 1 GB budget for the dense W block.
         """
-        if (self.mesh is not None
-                or self.solver != CONJUGATE_GRADIENT
+        if (self.solver != CONJUGATE_GRADIENT
                 or self.with_user_item_bias or self.use_pallas):
             return 0
         n_rows, n_cols = csr.shape
@@ -273,6 +272,10 @@ class WRMF(MatrixFactorizationRecommender):
                         "%d hot users (%.0f%% nnz)",
                         n_hot_items, 100 * (1 - cold_ui.nnz / max(csr.nnz, 1)),
                         n_hot_users, 100 * (1 - cold_iu.nnz / max(csr.nnz, 1)))
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_hot
+            hot_ui = shard_hot(hot_ui, self.mesh)
+            hot_iu = shard_hot(hot_iu, self.mesh)
         iu = self._bucketize(cold_iu, incl or hot_iu is not None)
         ui = (self._bucketize(cold_ui, incl or hot_ui is not None)
               if (hot_ui is not None) else None)

@@ -51,6 +51,34 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_hot(hot, mesh: Mesh, model_axis: str = "model"):
+    """Place a dense zipf-head block (sparse/device.py ``HotBlock``) on the
+    mesh.
+
+    ``W`` shards its hot-column axis over ``model``: every device holds all
+    target rows for its slice of hot columns, so the per-bucket row gather
+    ``W[ids]`` stays device-local and the H-axis contractions of the hot
+    rhs/matvec terms reduce with a rank-sized psum.  ``hot_ids`` and
+    ``row_nnz`` are replicated (O(H + n_rows) ints).  Falls back to
+    replication when the column count doesn't divide the axis.
+    """
+    if hot is None:
+        return None
+    from ..sparse.device import HotBlock
+
+    H = hot.W.shape[1]
+    n = mesh.shape.get(model_axis, 1) if model_axis in mesh.axis_names else 1
+    col_spec = P(None, model_axis) if (n > 1 and H % n == 0) else P()
+    W = jax.device_put(hot.W, NamedSharding(mesh, col_spec))
+    pb = hot.present_bits
+    if pb is not None:
+        pb_spec = col_spec if (col_spec != P() and (H // n) % 8 == 0) else P()
+        pb = jax.device_put(pb, NamedSharding(mesh, pb_spec))
+    rep = NamedSharding(mesh, P())
+    return HotBlock(jax.device_put(hot.hot_ids, rep), W,
+                    jax.device_put(hot.row_nnz, rep), pb)
+
+
 def shard_buckets(
     br: BucketedRows, mesh: Mesh, axis: str = "data"
 ) -> BucketedRows:

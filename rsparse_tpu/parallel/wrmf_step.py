@@ -36,10 +36,20 @@ def train_step(
     g: jax.Array,
     cfg_items: ALSConfig,
     cfg_users: ALSConfig,
+    hot_iu=None,
+    hot_ui=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """One full ALS iteration (items then users), jitted end-to-end."""
-    V, _ = wrmf_sweep(U, V, iu_buckets, cnt_u, lam, g, cfg_items)
-    U, loss = wrmf_sweep(V, U, ui_buckets, cnt_i, lam, g, cfg_users)
+    """One full ALS iteration (items then users), jitted end-to-end.
+
+    ``hot_iu`` / ``hot_ui`` are optional dense zipf-head blocks
+    (sparse/device.py ``HotBlock``, placed with ``mesh.shard_hot``): the
+    head columns' normal-equation terms run as MXU matmuls whose H-axis
+    contractions psum over the ``model`` axis.
+    """
+    V, _ = wrmf_sweep(U, V, iu_buckets, cnt_u, lam, g, cfg_items,
+                      hot=hot_iu)
+    U, loss = wrmf_sweep(V, U, ui_buckets, cnt_i, lam, g, cfg_users,
+                         hot=hot_ui)
     return U, V, loss
 
 

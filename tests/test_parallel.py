@@ -147,3 +147,54 @@ def test_routed_factor_exchange_matches_global_gather():
         routed = caches[d][remapped[d]]          # gather from local cache
         direct = src[col_idx[d]]                 # global gather
         np.testing.assert_allclose(routed, direct, rtol=1e-6)
+
+
+def test_sharded_hot_cold_step_matches_single_device():
+    """The dense zipf-head split under the mesh (W hot-column axis sharded
+    over 'model') must match the unsharded hot/cold step exactly."""
+    from rsparse_tpu.parallel.mesh import shard_hot
+    from rsparse_tpu.sparse.device import split_hot_cold
+
+    x, U, V, _, _ = _problem(row_align=32)
+    hot_ui, cold = split_hot_cold(x, 16, jnp.float32)
+    hot_iu, cold_t = split_hot_cold(x.T.tocsr(), 16, jnp.float32)
+    iu = bucket_rows(cold_t, jnp.float32, row_align=32, max_buckets=3,
+                     include_empty=True)
+    ui = bucket_rows(cold, jnp.float32, row_align=32, max_buckets=3,
+                     include_empty=True)
+    cfg = ALSConfig(feedback="implicit", solver=CONJUGATE_GRADIENT)
+
+    V1, _ = wrmf_sweep(U, V, iu.buckets, None, 0.1, 0.0, cfg, hot=hot_iu)
+    U1, loss1 = wrmf_sweep(V1, U, ui.buckets, None, 0.1, 0.0, cfg,
+                           hot=hot_ui)
+
+    mesh = make_mesh((4, 2), ("data", "model"), jax.devices()[:8])
+    Us, Vs, iu_s, ui_s = shard_problem(mesh, U, V, iu, ui)
+    hot_iu_s = shard_hot(hot_iu, mesh)
+    hot_ui_s = shard_hot(hot_ui, mesh)
+    with mesh:
+        U2, V2, loss2 = train_step(Us, Vs, iu_s.buckets, ui_s.buckets,
+                                   None, None, 0.1, 0.0, cfg, cfg,
+                                   hot_iu=hot_iu_s, hot_ui=hot_ui_s)
+    np.testing.assert_allclose(np.asarray(V1), np.asarray(V2), rtol=2e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(U1), np.asarray(U2), rtol=2e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+
+
+def test_wrmf_model_mesh_hot_cold(ml100k_split):
+    """WRMF(mesh=..., n_hot=...) end-to-end equals the single-device model
+    with the same head size."""
+    from rsparse_tpu import WRMF
+    train, _ = ml100k_split
+    mesh = make_mesh((4, 2), ("data", "model"), jax.devices()[:8])
+    kw = dict(rank=6, lambda_=0.5, feedback="implicit", seed=0,
+              solver="conjugate_gradient", precision="double", n_hot=32)
+    m1 = WRMF(**kw)
+    e1 = m1.fit_transform(train, n_iter=2, convergence_tol=-1)
+    m2 = WRMF(mesh=mesh, **kw)
+    e2 = m2.fit_transform(train, n_iter=2, convergence_tol=-1)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2),
+                               rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(m1.loss_history, m2.loss_history, rtol=1e-8)
