@@ -198,3 +198,25 @@ def test_wrmf_model_mesh_hot_cold(ml100k_split):
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2),
                                rtol=1e-6, atol=1e-10)
     np.testing.assert_allclose(m1.loss_history, m2.loss_history, rtol=1e-8)
+
+
+def test_sharded_top_k_packed_bits():
+    """Packed-bitmask variant of sharded_top_k matches the dense-mask
+    variant and the oracle (8x smaller mask on the wire)."""
+    rng = np.random.default_rng(3)
+    n_u, n_i, r, k = 48, 128, 8, 5
+    x = rng.standard_normal((n_u, r)).astype(np.float32)
+    y = rng.standard_normal((r, n_i)).astype(np.float32)
+    mask = rng.random((n_u, n_i)) < 0.3
+    bits = np.packbits(mask, axis=1, bitorder="little")
+    mesh = make_mesh((8,), ("data",), jax.devices()[:8])
+    s, i = sharded_top_k(mesh, jnp.asarray(x), jnp.asarray(y), k,
+                         mask_bits=jnp.asarray(bits), glob_mean=0.25)
+    dense = x @ y + 0.25
+    dense[mask] = -np.inf
+    expect_i = np.argsort(-dense, axis=1)[:, :k]
+    live = ~np.isinf(np.take_along_axis(dense, expect_i, 1))
+    np.testing.assert_array_equal(np.asarray(i)[live], expect_i[live])
+    np.testing.assert_allclose(
+        np.asarray(s)[live],
+        np.take_along_axis(dense, expect_i, 1)[live], rtol=1e-5)
