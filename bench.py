@@ -84,7 +84,8 @@ def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
     import jax.numpy as jnp
     from functools import partial
     from rsparse_tpu.ops.als import ALSConfig, solver_code, wrmf_sweep
-    from rsparse_tpu.sparse.device import bucket_rows, split_hot_cold
+    from rsparse_tpu.sparse.device import (bucket_rows, hot_bucket_rows,
+                                           split_hot_cold)
 
     n_users, n_items = csr.shape
     t0 = time.time()
@@ -106,10 +107,13 @@ def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
     V = jnp.asarray(rng.standard_normal((n_items, rank)) * 0.01, jnp.float32)
     cfg = ALSConfig(feedback="implicit", solver=solver_code(solver),
                     compute_dtype=compute_dtype, use_pallas=use_pallas)
+    # bucket order is fixed: pre-gather the hot rows once (the per-sweep
+    # W[ids] random gather costs ~15% of the sweep, PERF.md)
+    hot_rows = hot_bucket_rows(hot, ui.buckets, n_users)
     sweep = partial(jax.jit, static_argnames=("cfg",))(wrmf_sweep)
 
     t0 = time.time()
-    U2, loss = sweep(V, U, ui.buckets, None, LAM, 0.0, cfg, hot)
+    U2, loss = sweep(V, U, ui.buckets, None, LAM, 0.0, cfg, hot, hot_rows)
     log(f"first call (compile): {time.time()-t0:.1f}s loss={float(loss):.1f}")
 
     # sustained throughput: chained sweeps, one final scalar readback (the
@@ -117,7 +121,7 @@ def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
     # whole dependency chain)
     t0 = time.time()
     for _ in range(reps):
-        U2, loss = sweep(V, U2, ui.buckets, None, LAM, 0.0, cfg, hot)
+        U2, loss = sweep(V, U2, ui.buckets, None, LAM, 0.0, cfg, hot, hot_rows)
     final_loss = float(loss)
     dt = (time.time() - t0) / reps
     ups = n_users / dt

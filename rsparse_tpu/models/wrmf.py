@@ -32,7 +32,8 @@ from ..config import logger, resolve_dtype
 from ..ops.als import (ALSConfig, CHOLESKY, CONJUGATE_GRADIENT, NNLS,
                        solver_code, wrmf_sweep_streamed)
 from ..ops.bias_init import initialize_biases
-from ..sparse.device import BucketedRows, bucket_rows, split_hot_cold
+from ..sparse.device import (BucketedRows, bucket_rows, hot_bucket_rows,
+                             split_hot_cold)
 from .base import MatrixFactorizationRecommender, get_names
 
 
@@ -159,13 +160,14 @@ class WRMF(MatrixFactorizationRecommender):
         return jax.device_put(
             arr, NamedSharding(self.mesh, P()))
 
-    def _sweep(self, src, tgt, buckets, src_cnt, lam, g, cfg, hot=None):
+    def _sweep(self, src, tgt, buckets, src_cnt, lam, g, cfg, hot=None,
+               hot_rows=None):
         if self.mesh is not None:
             with self.mesh:
                 return wrmf_sweep_streamed(src, tgt, buckets, src_cnt, lam,
                                            g, cfg, hot=hot)
         return wrmf_sweep_streamed(src, tgt, buckets, src_cnt, lam, g, cfg,
-                                   hot=hot)
+                                   hot=hot, hot_rows=hot_rows)
 
     def _resolve_n_hot(self, csr: sp.csr_matrix) -> int:
         """Head size for the dense zipf-head split of one sweep orientation.
@@ -279,6 +281,17 @@ class WRMF(MatrixFactorizationRecommender):
         iu = self._bucketize(cold_iu, incl or hot_iu is not None)
         ui = (self._bucketize(cold_ui, incl or hot_ui is not None)
               if (hot_ui is not None) else None)
+        # pre-gather the hot rows into bucket order once: bucket order is
+        # fixed for the whole fit, and the per-sweep W[ids] random gather
+        # costs ~15% of the bench sweep (sparse/device.py hot_bucket_rows)
+        iu_hot_rows = ui_hot_rows = None
+        if self.mesh is None:
+            if hot_iu is not None:
+                iu_hot_rows = hot_bucket_rows(hot_iu, iu.buckets, n_items)
+                hot_iu = hot_iu._replace(W=hot_iu.W[:1])   # free the big W
+            if hot_ui is not None:
+                ui_hot_rows = hot_bucket_rows(hot_ui, ui.buckets, n_users)
+                hot_ui = hot_ui._replace(W=hot_ui.W[:1])
         ui_full = self._bucketize(csr, incl)
         if ui is None:
             ui = ui_full
@@ -322,13 +335,15 @@ class WRMF(MatrixFactorizationRecommender):
         for it in range(n_iter):
             with self.fit_trace.phase(it + 1, "items") as rec:
                 V, loss = self._sweep(U, V, iu.buckets, self._cnt_u,
-                                      lam, g, cfg_items, hot_iu)
+                                      lam, g, cfg_items, hot_iu,
+                                      iu_hot_rows)
                 loss = float(loss) / nnz
                 rec["loss"] = loss
             logger.info("iter %d (items) loss = %.4f", it + 1, loss)
             with self.fit_trace.phase(it + 1, "users") as rec:
                 U, loss = self._sweep(V, U, ui.buckets, self._cnt_i,
-                                      lam, g, cfg_users, hot_ui)
+                                      lam, g, cfg_users, hot_ui,
+                                      ui_hot_rows)
                 loss = float(loss) / nnz
                 rec["loss"] = loss
             logger.info("iter %d (users) loss = %.4f", it + 1, loss)

@@ -456,16 +456,26 @@ def _assemble_target(result_act, n_tgt, cfg: ALSConfig, dtype):
 
 def _solve_scatter(result_act, src_act, x_biases, XtX, rhs_init,
                    bucket, old_act, lam, g, n_tgt: int, cfg: ALSConfig,
-                   hot=None, V_hot=None):
+                   hot=None, V_hot=None, hot_pre=None):
     """One bucket: gather warm start, solve, scatter into the result.
     Small per-shape program — compiles once per (B, L) shape and is reused
-    by every same-shape chunk (donates the result buffer)."""
+    by every same-shape chunk (donates the result buffer).
+
+    ``hot_pre``: optional staging-time pre-gathered hot rows for this
+    bucket (sparse/device.py ``hot_bucket_rows``) — skips the per-sweep
+    ``W[ids]`` random gather (~15% of the bench sweep, PERF.md)."""
     sdt = XtX.dtype
     ids = jnp.minimum(bucket.row_ids, n_tgt - 1)
     valid = bucket.row_ids < n_tgt
     x_init = old_act[ids]
     hot_W = hot_bits = nnz_total = None
-    if hot is not None:
+    if hot_pre is not None:
+        hot_W, hot_bits, row_nnz = hot_pre
+        if cfg.feedback == "explicit" and cfg.dynamic_lambda:
+            nnz_total = row_nnz
+        if not cfg.solve_empty:
+            valid = valid & (row_nnz > 0)
+    elif hot is not None:
         hot_W = hot.W[ids]
         if hot.present_bits is not None:
             hot_bits = hot.present_bits[ids]
@@ -496,6 +506,7 @@ def wrmf_sweep_streamed(
     g,
     cfg: ALSConfig,
     hot=None,
+    hot_rows=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming ALS half-sweep: one small jitted program per bucket shape.
 
@@ -503,6 +514,9 @@ def wrmf_sweep_streamed(
     dispatch as separate XLA programs keyed on (B, L) — compile cost is per
     *shape*, not per chunk, which matters when remote-compile latency is
     high and nnz is large.
+
+    ``hot_rows``: optional per-bucket pre-gathered hot rows
+    (sparse/device.py ``hot_bucket_rows``), aligned with ``buckets``.
     """
     n_tgt = tgt_old.shape[0]
     R = src.shape[1]
@@ -519,10 +533,14 @@ def wrmf_sweep_streamed(
     V_hot = None if hot is None else src_act[hot.hot_ids]
     result_act = jnp.zeros((n_tgt + 1, d), dtype=dtype)
     losses = []
-    for bucket in buckets:
+    # with pre-gathered rows the full HotBlock never enters the per-bucket
+    # programs (its W stays referenced only by the staging arrays)
+    hot_arg = None if hot_rows is not None else hot
+    for bi, bucket in enumerate(buckets):
         result_act, le = _jit_solve_scatter(
             result_act, src_act, x_biases, XtX, rhs_init, bucket, old_act,
-            lam, g, n_tgt, cfg, hot, V_hot)
+            lam, g, n_tgt, cfg, hot_arg,
+            V_hot, None if hot_rows is None else hot_rows[bi])
         losses.append(le)
     tgt_new = _assemble_target(result_act[:n_tgt], n_tgt, cfg, dtype)
     loss = sum(losses) + _src_reg_loss(src, src_cnt, lam, cfg, sdt)
@@ -538,6 +556,7 @@ def wrmf_sweep(
     g: jax.Array,
     cfg: ALSConfig,
     hot=None,                       # Optional[HotBlock]: dense zipf-head terms
+    hot_rows=None,                  # optional per-bucket pre-gathered rows
 ) -> Tuple[jax.Array, jax.Array]:
     """One ALS half-sweep: re-solve every target entity given fixed sources.
 
@@ -558,12 +577,14 @@ def wrmf_sweep(
     old_act = tgt_old[:, tgt_sl]
     d = src_act.shape[1]
     V_hot = None if hot is None else src_act[hot.hot_ids]
+    hot_arg = None if hot_rows is not None else hot
     result_act = jnp.zeros((n_tgt + 1, d), dtype=dtype)
     loss = jnp.zeros((), sdt)
-    for bucket in buckets:
+    for bi, bucket in enumerate(buckets):
         result_act, le = _solve_scatter(
             result_act, src_act, x_biases, XtX, rhs_init, bucket, old_act,
-            lam, g, n_tgt, cfg, hot, V_hot)
+            lam, g, n_tgt, cfg, hot_arg, V_hot,
+            None if hot_rows is None else hot_rows[bi])
         loss = loss + le
     tgt_new = _assemble_target(result_act[:n_tgt], n_tgt, cfg, dtype)
     loss = loss + _src_reg_loss(src, src_cnt, lam, cfg, sdt)

@@ -314,6 +314,28 @@ def split_hot_cold(
     return blk, cold
 
 
+def hot_bucket_rows(hot: Optional[HotBlock], buckets, n_tgt: int):
+    """Pre-gather the hot block's per-bucket rows once at staging time.
+
+    Bucket membership and order are fixed for the whole fit, but the sweep
+    re-gathers ``W[bucket.row_ids]`` on every bucket of every sweep — a
+    full-matrix random gather (~4.2 ms for the 512 MB bench block,
+    PERF.md).  Doing the permutation once here turns every per-sweep
+    access into a free contiguous block.
+
+    Returns a tuple aligned with ``buckets``; each entry is
+    ``(W_rows (B, H), bits_rows | None, nnz_rows (B,))``.
+    """
+    if hot is None:
+        return None
+    out = []
+    for b in buckets:
+        ids = jnp.minimum(b.row_ids, n_tgt - 1)
+        bits = None if hot.present_bits is None else hot.present_bits[ids]
+        out.append((hot.W[ids], bits, hot.row_nnz[ids]))
+    return tuple(out)
+
+
 # -- staged-bucket cache ------------------------------------------------------
 
 _BUCKET_CACHE: dict = {}
