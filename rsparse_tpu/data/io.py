@@ -16,6 +16,29 @@ import scipy.sparse as sp
 from ..native import parse_interactions_bytes
 
 
+def _parse_string_ids(buf: bytes, sep: str, skip_header: bool):
+    """Fallback tokenizer for logs whose user/item ids are not integers."""
+    text = buf.decode("utf-8", errors="replace")
+    lines = text.splitlines()
+    if skip_header and lines:
+        lines = lines[1:]
+    users, items, ratings = [], [], []
+    for ln in lines:
+        if not ln:
+            continue
+        parts = ln.split(sep)
+        if len(parts) < 2:
+            continue
+        users.append(parts[0].strip())
+        items.append(parts[1].strip())
+        try:
+            ratings.append(float(parts[2]) if len(parts) > 2 else 1.0)
+        except ValueError:
+            ratings.append(1.0)
+    return (np.asarray(users), np.asarray(items),
+            np.asarray(ratings, np.float32))
+
+
 def load_interactions(
     path: str,
     sep: str = ",",
@@ -33,6 +56,12 @@ def load_interactions(
     with open(path, "rb") as f:
         buf = f.read()
     users, items, ratings = parse_interactions_bytes(buf, sep, skip_header)
+    if len(users) == 0:
+        # non-numeric identifiers: tokenize on the host (the native fast
+        # path handles the common all-integer logs; arbitrary string ids
+        # force remapping)
+        users, items, ratings = _parse_string_ids(buf, sep, skip_header)
+        remap_ids = True
     if len(users) == 0:
         raise ValueError(f"no interactions parsed from {path}")
     if remap_ids:

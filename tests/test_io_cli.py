@@ -62,3 +62,17 @@ def test_fit_trace(ml100k_split):
     assert all(r["wall_s"] > 0 and np.isfinite(r["loss"])
                for r in m.fit_trace)
     assert set(m.fit_trace.summary()) == phases
+
+
+def test_load_interactions_string_ids(tmp_path):
+    """Non-numeric user/item identifiers fall back to the host tokenizer
+    and are densified with originals kept as row/col names."""
+    p = tmp_path / "log.csv"
+    p.write_text("user,item,value\nalice,apple,2\nbob,banana,1\n"
+                 "alice,banana,3\n")
+    from rsparse_tpu.data.io import load_interactions
+    m = load_interactions(str(p))
+    assert m.shape == (2, 2)
+    assert m.row_names == ["alice", "bob"]
+    assert m.col_names == ["apple", "banana"]
+    assert m[0, 1] == 3.0 and m[1, 1] == 1.0
