@@ -66,7 +66,7 @@ def synth_ml20m_like(n_users=N_USERS, n_items=N_ITEMS, mean_nnz=MEAN_NNZ,
 
 def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
                   solver="conjugate_gradient", use_pallas=False,
-                  max_buckets=24, n_hot=0):
+                  max_buckets=24, n_hot=0, feedback="implicit"):
     """Sustained user-updates/s: ``reps`` chained warm sweeps, one final
     scalar readback forcing the dependency chain.
 
@@ -93,7 +93,8 @@ def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
     cold = csr
     if n_hot:
         w_dt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-        hot, cold = split_hot_cold(csr, n_hot, jnp.float32, w_dtype=w_dt)
+        hot, cold = split_hot_cold(csr, n_hot, jnp.float32, w_dtype=w_dt,
+                                   with_presence=(feedback == "explicit"))
     ui = bucket_rows(cold, jnp.float32, max_buckets=max_buckets,
                      include_empty=bool(n_hot), max_elems=1 << 21)
     padded = sum(B * L for B, L in ui.shapes)
@@ -105,7 +106,7 @@ def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
     rng = np.random.default_rng(0)
     U = jnp.asarray(rng.standard_normal((n_users, rank)) * 0.01, jnp.float32)
     V = jnp.asarray(rng.standard_normal((n_items, rank)) * 0.01, jnp.float32)
-    cfg = ALSConfig(feedback="implicit", solver=solver_code(solver),
+    cfg = ALSConfig(feedback=feedback, solver=solver_code(solver),
                     compute_dtype=compute_dtype, use_pallas=use_pallas)
     # bucket order is fixed: pre-gather the hot rows once (the per-sweep
     # W[ids] random gather costs ~15% of the sweep, PERF.md)
@@ -125,7 +126,7 @@ def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
     final_loss = float(loss)
     dt = (time.time() - t0) / reps
     ups = n_users / dt
-    log(f"sustained sweep ({solver}/{compute_dtype}"
+    log(f"sustained sweep ({feedback}/{solver}/{compute_dtype}"
         + (f"/hot{n_hot}" if n_hot else "") + f"): {dt*1e3:.1f} ms -> "
         f"{ups:,.0f} user-updates/s ({csr.nnz} nnz, loss {final_loss:.0f})")
     return ups
@@ -377,6 +378,8 @@ def main():
     ups = measure_sweep(csr, RANK, 3 if quick else REPS,
                         n_hot=512 if quick else N_HOT)
     for name, fn in [
+        ("explicit_sweep", lambda: None if quick else measure_sweep(
+            csr, RANK, 5, n_hot=N_HOT, feedback="explicit")),
         ("topk", lambda: measure_topk(sp.csr_matrix(csr[:8192]), RANK)),
         ("glove", lambda: None if quick else measure_glove()),
         ("soft_impute", lambda: None if quick else measure_soft_impute(

@@ -312,10 +312,12 @@ def _solve_bucket_explicit(
     gdt = (jnp.bfloat16 if (cfg.compute_dtype == "bfloat16"
                             and sdt == jnp.float32) else sdt)
     # shadow-table cast before the gather (see the implicit path): halves
-    # the random-read bytes of the hot gather and pins the cast src-side
+    # the random-read bytes of the hot gather and pins the cast src-side.
+    # Xg itself stays unmasked — padding is killed on the small (B, L)
+    # intermediates instead, so no masked copy of the gathered block is
+    # ever materialized (it is the dominant HBM tensor of the sweep).
     src_g = jax.lax.optimization_barrier(src_act.astype(gdt))
-    Xg = jnp.where(mask[..., None], src_g[bucket.col_idx],
-                   jnp.asarray(0.0, gdt))              # (B, L, d)
+    Xg = src_g[bucket.col_idx]                         # (B, L, d)
     conf = jnp.where(mask, bucket.values.astype(sdt), 0.0)
     if cfg.with_biases:
         xb = x_biases[bucket.col_idx].astype(sdt)
@@ -341,6 +343,7 @@ def _solve_bucket_explicit(
         def matvec(p):
             t = jnp.einsum("bld,bd->bl", Xg, p.astype(gdt),
                            preferred_element_type=sdt)
+            t = jnp.where(mask, t, 0.0)
             out = (jnp.einsum("bl,bld->bd", t.astype(gdt), Xg,
                               preferred_element_type=sdt)
                    + lam_use[:, None] * p)
@@ -354,7 +357,8 @@ def _solve_bucket_explicit(
         y = batched_cg(matvec, rhs, x_init.astype(sdt), cfg.cg_steps)
     else:
         d = Xg.shape[-1]
-        lhs = jnp.einsum("bld,ble->bde", Xg, Xg, preferred_element_type=sdt)
+        Xgm = jnp.where(mask[..., None], Xg, jnp.asarray(0.0, gdt))
+        lhs = jnp.einsum("bld,ble->bde", Xgm, Xgm, preferred_element_type=sdt)
         lhs = lhs + lam_use[:, None, None] * jnp.eye(d, dtype=sdt)[None]
         # keep padding rows nonsingular (their solutions are discarded)
         invalid = (bucket.nnz == 0) & (lam_use == 0)

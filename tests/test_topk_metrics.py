@@ -167,3 +167,37 @@ def test_tournament_topk_heavy_masking():
     assert np.asarray(ti)[0, 0] == 300
     assert len(set(np.asarray(ti)[0].tolist())) == 4  # no duplicates
     np.testing.assert_array_equal(np.asarray(ti)[1], [511, 510, 509, 508])
+
+
+def test_tournament_all_equal_scores():
+    """Fully-degenerate ties: every score equal -> indices 0..k-1 in order
+    (the lexicographic (value, col) kill must not skip or repeat)."""
+    import jax.numpy as jnp
+    from rsparse_tpu.ops.topk import exact_top_k_tournament
+
+    s = np.full((3, 1024), 2.5, np.float32)
+    ts, ti = exact_top_k_tournament(jnp.asarray(s), 6, group=128)
+    np.testing.assert_array_equal(np.asarray(ti),
+                                  np.tile(np.arange(6), (3, 1)))
+    np.testing.assert_allclose(np.asarray(ts), 2.5)
+
+
+def test_masked_bits_duplicate_values_across_groups():
+    """Duplicate values split across groups + masks on some duplicates."""
+    import jax.numpy as jnp
+    from rsparse_tpu.ops.topk import masked_top_k_bits
+
+    n = 1024
+    s = np.zeros((2, n), np.float32)
+    dup_cols = [3, 130, 257, 700, 701]     # same value in 4 distinct groups
+    for c in dup_cols:
+        s[:, c] = 7.0
+    mask = np.zeros((2, n), bool)
+    mask[1, 130] = True                    # mask one duplicate in row 1
+    bits = np.packbits(mask, axis=1, bitorder="little")
+    ts, ti = masked_top_k_bits(jnp.asarray(s), jnp.asarray(bits), 5,
+                               group=128)
+    np.testing.assert_array_equal(np.asarray(ti)[0], dup_cols)
+    expect_row1 = [3, 257, 700, 701, 0]    # 130 masked -> tail filler 0.0
+    np.testing.assert_array_equal(np.asarray(ti)[1], expect_row1)
+    np.testing.assert_allclose(np.asarray(ts)[0], 7.0)
