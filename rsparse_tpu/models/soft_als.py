@@ -23,7 +23,8 @@ import numpy as np
 import scipy.sparse as sp
 
 from ..config import logger, resolve_dtype
-from ..ops.spmm import residual_values, spmm_buckets, sq_norm_values
+from ..ops.spmm import (residual_values, spmm_buckets,
+                        spmm_residual_buckets)
 from ..sparse.device import bucket_rows
 
 
@@ -80,7 +81,8 @@ def pad_svd(init: SVDResult, rank: int,
 
 
 def _b_step(buckets, n_rows, svd: SVDResult, lam, target: str,
-            update_side: str) -> Tuple[SVDResult, jax.Array]:
+            update_side: str, compute_dtype=None) -> Tuple[SVDResult,
+                                                           jax.Array]:
     """One half-iteration: re-solve one side and re-orthogonalize.
 
     ``buckets`` hold the matrix oriented with the *solved* side as rows
@@ -90,17 +92,19 @@ def _b_step(buckets, n_rows, svd: SVDResult, lam, target: str,
     shrink = d / (d + lam)
     loss = jnp.asarray(jnp.nan, jnp.float32)
     if target == "soft_impute":
-        # residual of (rows x cols) pattern against  rowfac diag(d) colfac'
+        # residual of (rows x cols) pattern against  rowfac diag(d) colfac',
+        # fused with the residual-SpMM (one gather of colfac per bucket)
         rowfac, colfac = (v, u) if update_side == "v" else (u, v)
-        delta = residual_values(buckets, rowfac, colfac, d)
+        proj, sqn = spmm_residual_buckets(buckets, n_rows, rowfac, colfac, d,
+                                          compute_dtype=compute_dtype)
         # un-normalized loss; the caller divides by nnz
         # (reference R/SoftALS.R:83)
-        loss = sq_norm_values(buckets, delta) + lam * jnp.sum(d)
-        proj = spmm_buckets(buckets, n_rows, colfac, values_list=delta)
+        loss = sqn + lam * jnp.sum(d)
         hat = (proj + rowfac * d[None, :]) * shrink[None, :]
     else:
         colfac = u if update_side == "v" else v
-        proj = spmm_buckets(buckets, n_rows, colfac)
+        proj = spmm_buckets(buckets, n_rows, colfac,
+                            compute_dtype=compute_dtype)
         hat = proj * shrink[None, :]
 
     hsvd = svd_tall_skinny(hat)
@@ -111,11 +115,14 @@ def _b_step(buckets, n_rows, svd: SVDResult, lam, target: str,
     return new, loss
 
 
-@partial(jax.jit, static_argnames=("target", "n_rows", "n_cols"))
+@partial(jax.jit, static_argnames=("target", "n_rows", "n_cols",
+                                   "compute_dtype"))
 def _soft_als_iter(tx_buckets, x_buckets, n_rows: int, n_cols: int,
-                   svd: SVDResult, lam, target: str):
-    svd1, _ = _b_step(tx_buckets, n_cols, svd, lam, target, "v")
-    svd2, loss = _b_step(x_buckets, n_rows, svd1, lam, target, "u")
+                   svd: SVDResult, lam, target: str, compute_dtype=None):
+    svd1, _ = _b_step(tx_buckets, n_cols, svd, lam, target, "v",
+                      compute_dtype)
+    svd2, loss = _b_step(x_buckets, n_rows, svd1, lam, target, "u",
+                         compute_dtype)
     delta = calc_frobenius_norm_delta(svd, svd2)
     return svd2, delta, loss
 
@@ -131,9 +138,15 @@ def soft_als(
     target: str = "svd",
     precision: str = "float32",
     seed: Optional[int] = None,
+    compute_dtype: Optional[str] = None,
 ) -> SVDResult:
     """Core EM-like algorithm for soft-svd / soft-impute
-    (reference R/SoftALS.R:107-245)."""
+    (reference R/SoftALS.R:107-245).
+
+    ``compute_dtype="bfloat16"`` gathers the factor blocks at half width
+    (f32 accumulation, f32 orthogonalization) — the iteration is
+    random-row-gather bound; the final SVD cleanup stays full precision.
+    """
     if target not in ("svd", "soft_impute"):
         raise ValueError("target must be 'svd' or 'soft_impute'")
     dtype = resolve_dtype(precision)
@@ -158,7 +171,7 @@ def soft_als(
     for i in range(n_iter):
         svd_cur, delta, loss = _soft_als_iter(
             tx_b.buckets, x_b.buckets, n_rows, n_cols, svd_cur,
-            jnp.asarray(lambda_, dtype), target)
+            jnp.asarray(lambda_, dtype), target, compute_dtype)
         delta = float(delta)
         trace.append({"iter": i + 1, "frob_delta": delta,
                       "loss": float(loss) / max(x_b.nnz, 1)})
@@ -198,14 +211,16 @@ def soft_als(
 
 
 def soft_impute(x, rank=10, lambda_=0.0, n_iter=100, convergence_tol=1e-3,
-                init=None, final_svd=True, precision="float32", seed=None):
+                init=None, final_svd=True, precision="float32", seed=None,
+                compute_dtype=None):
     """Matrix completion on observed entries (reference R/SoftALS.R:40-49)."""
     return soft_als(x, rank, lambda_, n_iter, convergence_tol, init,
-                    final_svd, "soft_impute", precision, seed)
+                    final_svd, "soft_impute", precision, seed, compute_dtype)
 
 
 def soft_svd(x, rank=10, lambda_=0.0, n_iter=100, convergence_tol=1e-3,
-             init=None, final_svd=True, precision="float32", seed=None):
+             init=None, final_svd=True, precision="float32", seed=None,
+             compute_dtype=None):
     """Regularized truncated SVD (reference R/SoftALS.R:54-63)."""
     return soft_als(x, rank, lambda_, n_iter, convergence_tol, init,
-                    final_svd, "svd", precision, seed)
+                    final_svd, "svd", precision, seed, compute_dtype)

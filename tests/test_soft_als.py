@@ -143,3 +143,28 @@ def test_scale_normalize(ml100k):
     new = np.asarray(np.abs(out2).sum(axis=1)).ravel()
     nz = old > 0
     np.testing.assert_allclose(new[nz], old[nz] ** 0.4, rtol=1e-10)
+
+
+def test_soft_impute_bf16_gather_close_to_f32():
+    """bfloat16 factor gathers (f32 accumulation) must reconstruct nearly
+    as well as the f32 path and keep orthonormal singular vectors."""
+    import numpy as np
+    import scipy.sparse as sp
+    from rsparse_tpu import soft_impute
+
+    rng = np.random.default_rng(3)
+    truth = rng.standard_normal((80, 50)) @ rng.standard_normal((50, 60))
+    mask = rng.random((80, 60)) < 0.5
+    x = sp.csr_matrix(np.where(mask, truth, 0.0))
+    f32 = soft_impute(x, rank=12, lambda_=0.5, n_iter=30, seed=0)
+    b16 = soft_impute(x, rank=12, lambda_=0.5, n_iter=30, seed=0,
+                      compute_dtype="bfloat16")
+
+    def recon(svd):
+        return np.asarray(svd.u) * np.asarray(svd.d) @ np.asarray(svd.v).T
+
+    r32, r16 = recon(f32), recon(b16)
+    err = np.linalg.norm(r16 - r32) / np.linalg.norm(r32)
+    assert err < 0.05, err
+    vtv = np.asarray(b16.v).T @ np.asarray(b16.v)
+    np.testing.assert_allclose(vtv, np.eye(vtv.shape[0]), atol=1e-4)
