@@ -301,11 +301,18 @@ class RankMF(MatrixFactorizationRecommender):
                 self.dtype)
             self._accH = jnp.ones((nif,), self.dtype)
 
-        uf = _pad_features(user_features, self.dtype)
-        itf = _pad_features(item_features, self.dtype)
-        flat_idx = jnp.asarray(csr.indices, jnp.int32)
-        indptr = jnp.asarray(csr.indptr[:-1], jnp.int32)
-        row_nnz = jnp.asarray(np.diff(csr.indptr), jnp.int32)
+        # content-addressed staging: repeated partial_fit calls on the same
+        # interactions/features skip the host->device transfers entirely
+        from ..sparse.device import staged_cached
+        uf = staged_cached("rankmf_uf", user_features,
+                           lambda: _pad_features(user_features, self.dtype))
+        itf = staged_cached("rankmf_if", item_features,
+                            lambda: _pad_features(item_features, self.dtype))
+        flat_idx, indptr, row_nnz = staged_cached(
+            "rankmf_x", csr,
+            lambda: (jnp.asarray(csr.indices, jnp.int32),
+                     jnp.asarray(csr.indptr[:-1], jnp.int32),
+                     jnp.asarray(np.diff(csr.indptr), jnp.int32)))
         max_nnz = max(int(np.diff(csr.indptr).max()) if csr.nnz else 1, 1)
         bs_steps = int(np.ceil(np.log2(max_nnz + 1))) + 1
 
@@ -318,8 +325,11 @@ class RankMF(MatrixFactorizationRecommender):
 
         W, H = self.user_features_embeddings, self.item_features_embeddings
         accW, accH = self._accW, self._accH
-        # fixed-size scanned chunks: one compilation regardless of n_iter,
-        # dispatch overhead amortized 8x (n_batches rounds up)
+        # fixed-size scanned chunks: one compilation regardless of n_iter
+        # (a single whole-call scan would re-compile per distinct batch
+        # count — measured as a large net loss on the remote-compile
+        # relay), dispatch overhead amortized 8x; the chunk loop is fully
+        # asynchronous (no host syncs until the AUC readback below)
         CHUNK = 8
         n_chunks = -(-n_batches // CHUNK)
         auc_n = auc_d = 0
