@@ -58,10 +58,14 @@ def load_interactions(
     users, items, ratings = parse_interactions_bytes(buf, sep, skip_header)
     if len(users) == 0:
         # non-numeric identifiers: tokenize on the host (the native fast
-        # path handles the common all-integer logs; arbitrary string ids
-        # force remapping)
+        # path handles the common all-integer logs).  String ids only make
+        # sense densified — honor an explicit remap_ids=False with a loud
+        # error rather than silently remapping.
         users, items, ratings = _parse_string_ids(buf, sep, skip_header)
-        remap_ids = True
+        if len(users) and not remap_ids:
+            raise ValueError(
+                f"{path} has non-numeric user/item ids, which require "
+                "remap_ids=True")
     if len(users) == 0:
         raise ValueError(f"no interactions parsed from {path}")
     if remap_ids:

@@ -304,10 +304,13 @@ class RankMF(MatrixFactorizationRecommender):
         # content-addressed staging: repeated partial_fit calls on the same
         # interactions/features skip the host->device transfers entirely
         from ..sparse.device import staged_cached
+        dt_key = str(jnp.dtype(self.dtype))
         uf = staged_cached("rankmf_uf", user_features,
-                           lambda: _pad_features(user_features, self.dtype))
+                           lambda: _pad_features(user_features, self.dtype),
+                           extra=dt_key)
         itf = staged_cached("rankmf_if", item_features,
-                            lambda: _pad_features(item_features, self.dtype))
+                            lambda: _pad_features(item_features, self.dtype),
+                            extra=dt_key)
         flat_idx, indptr, row_nnz = staged_cached(
             "rankmf_x", csr,
             lambda: (jnp.asarray(csr.indices, jnp.int32),

@@ -44,10 +44,15 @@ def _tournament_steps(sg: jax.Array, bg, k: int, gmean,
     B, Gn, group = sg.shape
 
     def maskify(s, b):
+        # masked entries read as the FINITE floor NEG_INF, not -inf: the
+        # taken-entry kill writes true -inf, and the tournament's dedup
+        # depends on killed entries sorting STRICTLY below everything
+        # still selectable (else a fully-masked group re-picks its argmax
+        # forever and rows with < k live entries return duplicates)
         live = s if pre_clamped else jnp.maximum(s + gmean, NEG_INF)
         if b is None:
             return live
-        return jnp.where(_expand_bits(b), -jnp.inf, live)
+        return jnp.where(_expand_bits(b), NEG_INF, live)
 
     m = maskify(sg, bg)                     # fused into the two reduces
     gm = jnp.max(m, axis=-1)                                  # (B, Gn)
@@ -139,9 +144,11 @@ def masked_top_k_bits(scores: jax.Array, bits: jax.Array, k: int,
     Same tournament structure as :func:`exact_top_k_tournament`, but the
     mask is applied lazily: the bit expansion fuses into the one full pass
     that builds the per-group (max, argmax) tables and into the k per-group
-    re-scans.  Masked entries read as -inf (strictly below the NEG_INF clamp
-    applied to live values, so a fully-masked group can never win a round
-    with a live-looking score).
+    re-scans.  Masked entries read as the finite floor ``NEG_INF``
+    (= float32 min, the same value the reference writes over masked
+    scores); rows with fewer than k live entries fill the tail with
+    NEG_INF-scored but still DISTINCT indices (taken entries are killed to
+    true -inf, strictly below the floor).
     """
     B, n = scores.shape
     if group % 8 or n % group:
@@ -152,7 +159,7 @@ def masked_top_k_bits(scores: jax.Array, bits: jax.Array, k: int,
     gmean = jnp.asarray(glob_mean, scores.dtype)
 
     if n <= max(2 * group, 2 * k):
-        masked = jnp.where(_expand_bits(bits), -jnp.inf,
+        masked = jnp.where(_expand_bits(bits), NEG_INF,
                            jnp.maximum(scores + gmean, NEG_INF))
         s, i = jax.lax.top_k(masked, k)
         return s, i.astype(jnp.int32)

@@ -339,7 +339,9 @@ def hot_bucket_rows(hot: Optional[HotBlock], buckets, n_tgt: int):
 # -- staged-bucket cache ------------------------------------------------------
 
 _BUCKET_CACHE: dict = {}
-_BUCKET_CACHE_MAX = 4
+# sized so one RankMF partial_fit (3 entries) + FTRL/FM/GloVe staged
+# buckets coexist without thrashing each other out of the LRU
+_BUCKET_CACHE_MAX = 10
 
 
 def _csr_fingerprint(csr: sp.csr_matrix) -> tuple:
@@ -353,14 +355,17 @@ def _csr_fingerprint(csr: sp.csr_matrix) -> tuple:
             zlib.adler32(np.ascontiguousarray(csr.indptr)))
 
 
-def staged_cached(tag: str, csr: sp.csr_matrix, build):
+def staged_cached(tag: str, csr: sp.csr_matrix, build, extra=None):
     """Generic content-addressed staging cache.
 
     ``build()`` produces device arrays derived from ``csr``; repeated
     partial_fit calls on the same matrix then skip host->device re-staging
     (the bench relay moves ~30 MB/s; real hosts pay PCIe latency).  Shares
-    the LRU with :func:`bucket_rows_cached`."""
-    key = (tag, _csr_fingerprint(csr))
+    the LRU with :func:`bucket_rows_cached`.  ``extra`` must carry every
+    non-``csr`` input that shapes the built arrays (dtype, padding
+    options, ...) — two models differing only in precision must not share
+    an entry."""
+    key = (tag, extra, _csr_fingerprint(csr))
     hit = _BUCKET_CACHE.pop(key, None)
     if hit is None:
         hit = build()

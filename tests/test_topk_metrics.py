@@ -127,7 +127,10 @@ def test_masked_top_k_bits_vs_oracle():
     np.testing.assert_allclose(
         np.asarray(ts)[live],
         np.take_along_axis(dense, expect, 1)[live], rtol=1e-6)
-    assert np.all(np.isinf(np.asarray(ts)[0]))  # fully-masked row -> -inf
+    from rsparse_tpu.ops.topk import NEG_INF
+    # fully-masked row -> NEG_INF floor, but still k distinct indices
+    assert np.all(np.asarray(ts)[0] == NEG_INF)
+    assert len(set(np.asarray(ti)[0].tolist())) == k
     # pack_mask_bits helper: padding columns and exclude sets combine
     b2 = pack_mask_bits(n, exclude_mask=np.ones(n - 8, bool), n_rows=3)
     assert b2.shape == (3, n // 8)
@@ -201,3 +204,27 @@ def test_masked_bits_duplicate_values_across_groups():
     expect_row1 = [3, 257, 700, 701, 0]    # 130 masked -> tail filler 0.0
     np.testing.assert_array_equal(np.asarray(ti)[1], expect_row1)
     np.testing.assert_allclose(np.asarray(ts)[0], 7.0)
+
+
+def test_top_product_fewer_live_than_k_distinct_indices():
+    """A user with fewer than k unmasked items must still get k DISTINCT
+    indices (tail filled at the NEG_INF floor), and the live prefix must
+    match the oracle — regression for the -inf re-pick bug."""
+    from rsparse_tpu.ops.topk import NEG_INF
+
+    rng = np.random.default_rng(4)
+    n_items, k = 600, 6
+    x = rng.standard_normal((4, 8)).astype(np.float32)
+    y = rng.standard_normal((8, n_items)).astype(np.float32)
+    mask = np.ones((4, n_items), bool)
+    mask[0, [5, 9, 300]] = False          # only 3 live items for user 0
+    mask[1, :] = False                    # everything live for user 1
+    nr = sp.csr_matrix(mask.astype(float))
+    idx, scores = top_product(x, y, k, not_recommend=nr)
+    for u in range(4):
+        assert len(set(idx[u].tolist())) == k, idx[u]
+    dense = x @ y
+    dense[mask] = -np.inf
+    live_order = np.argsort(-dense[0])[:3]
+    np.testing.assert_array_equal(idx[0, :3], live_order)
+    assert (scores[0, 3:] == NEG_INF).all()
