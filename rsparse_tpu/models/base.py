@@ -81,8 +81,13 @@ class MatrixFactorizationRecommender:
                     [lookup[i] for i in items_exclude if i in lookup], np.int64)
 
         user_emb = self.transform(x)
+        # pass device embeddings straight through (top_product keeps jax
+        # arrays on-device; components go through its content-addressed
+        # staging cache)
+        if isinstance(user_emb, np.ndarray):
+            user_emb = np.asarray(user_emb, np.float32)
         idx, scores = top_product(
-            np.asarray(user_emb, np.float32),
+            user_emb,
             np.asarray(self.components, np.float32),
             k,
             not_recommend=not_recommend,
