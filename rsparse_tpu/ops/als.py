@@ -329,11 +329,14 @@ def _solve_bucket_explicit(
     rhs = jnp.einsum("bld,bl->bd", Xg, conf.astype(gdt),
                      preferred_element_type=sdt)
     if hot_W is not None:
-        from .topk import _expand_bits
         Vh = V_hot.astype(gdt)                         # (H, d)
         Wv = hot_W.astype(gdt)                         # ratings, absent = 0
         H = Wv.shape[1]
-        Mh = _expand_bits(hot_bits)[:, :H]             # (B, H) present
+        if hot_bits is not None:
+            from .topk import _expand_bits
+            Mh = _expand_bits(hot_bits)[:, :H]         # (B, H) present
+        else:
+            Mh = Wv != 0            # exact when no stored-zero ratings
         # absent cells carry Wv == 0 and present zero-ratings contribute
         # nothing to the rhs either, so no presence mask is needed here
         rhs = rhs + jnp.einsum("bh,hd->bd", Wv, Vh,
@@ -388,10 +391,9 @@ def _check_hot_supported(hot, cfg: ALSConfig):
         raise NotImplementedError(
             "hot/cold split currently supports the conjugate-gradient "
             "solver and no per-entity biases")
-    if cfg.feedback == "explicit" and hot.present_bits is None:
-        raise ValueError(
-            "explicit-feedback hot block needs presence bits; build it "
-            "with split_hot_cold(..., with_presence=True)")
+    # explicit feedback: presence bits exist only when the hot block holds
+    # explicitly-stored zero ratings (split_hot_cold(with_presence=True));
+    # otherwise ``W != 0`` is an exact presence indicator
 
 
 def _sweep_prepare(src, lam, g, cfg: ALSConfig, sdt):

@@ -291,7 +291,9 @@ def split_hot_cold(
     W[rows, hot_cols] = csr.data[is_hot]
 
     present_bits = None
-    if with_presence:
+    if with_presence and (csr.data[is_hot] == 0).any():
+        # presence bits are only physically needed when the hot block holds
+        # explicitly-stored ZERO values (``W != 0`` is exact otherwise)
         present = np.zeros((n_rows, -(-n_hot // 8) * 8), bool)
         present[rows, hot_cols] = True
         present_bits = jnp.asarray(
