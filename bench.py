@@ -66,7 +66,8 @@ def synth_ml20m_like(n_users=N_USERS, n_items=N_ITEMS, mean_nnz=MEAN_NNZ,
 
 def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
                   solver="conjugate_gradient", use_pallas=False,
-                  max_buckets=24, n_hot=0, feedback="implicit"):
+                  max_buckets=24, n_hot=0, feedback="implicit",
+                  hot_dtype=None):
     """Sustained user-updates/s: ``reps`` chained warm sweeps, one final
     scalar readback forcing the dependency chain.
 
@@ -92,7 +93,11 @@ def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
     hot = None
     cold = csr
     if n_hot:
-        w_dt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        if hot_dtype is not None:
+            w_dt = jnp.dtype(hot_dtype)
+        else:
+            w_dt = (jnp.bfloat16 if compute_dtype == "bfloat16"
+                    else jnp.float32)
         hot, cold = split_hot_cold(csr, n_hot, jnp.float32, w_dtype=w_dt,
                                    with_presence=(feedback == "explicit"))
     ui = bucket_rows(cold, jnp.float32, max_buckets=max_buckets,

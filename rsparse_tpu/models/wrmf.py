@@ -61,6 +61,7 @@ class WRMF(MatrixFactorizationRecommender):
         compute_dtype: str = "float32",
         use_pallas: bool = False,
         n_hot="auto",
+        hot_dtype: str = "auto",
     ):
         super().__init__()
         if feedback not in ("implicit", "explicit"):
@@ -104,6 +105,16 @@ class WRMF(MatrixFactorizationRecommender):
         #: the head size, "auto" picks by the measured break-even column
         #: count (PERF.md: gather ~2 KB/nnz vs dense ~12 B/row/column).
         self.n_hot = n_hot
+        #: storage dtype of the dense hot block: "auto" follows
+        #: ``compute_dtype``; "uint8" stores quantized confidence codes with
+        #: a per-row scale (implicit feedback only; halves the W-block HBM
+        #: traffic, error <= scale/2 per confidence — see HotBlock docs)
+        if hot_dtype not in ("auto", "uint8", "bfloat16", "float32"):
+            raise ValueError(f"unknown hot_dtype {hot_dtype!r}")
+        if hot_dtype == "uint8" and feedback != "implicit":
+            raise ValueError("hot_dtype='uint8' requires implicit feedback "
+                             "(quantized confidences must be positive)")
+        self.hot_dtype = hot_dtype
         self.components = None          # (R, n_items) view for the public API
         self._V = None                  # (n_items, R) device factors
         self._U = None                  # (n_users, R) device factors
@@ -183,11 +194,14 @@ class WRMF(MatrixFactorizationRecommender):
             return 0
         n_rows, n_cols = csr.shape
         n = self.n_hot
+        w_bytes = 1 if self.hot_dtype == "uint8" else 2
         if n == "auto":
             counts = np.bincount(csr.indices, minlength=n_cols)
-            n = int((counts >= max(8, n_rows // 256)).sum())
-        cap = (1 << 30) // max(2 * n_rows, 1)
-        n = int(min(int(n), 8192, cap, n_cols))
+            # uint8 halves the per-column W cost -> break-even at half the
+            # popularity, and the same bandwidth affords a 2x-wider head
+            n = int((counts >= max(8, n_rows // (256 * 2 // w_bytes))).sum())
+        cap = (1 << 30) // max(w_bytes * n_rows, 1)
+        n = int(min(int(n), 8192 * 2 // w_bytes, cap, n_cols))
         return n if n >= 16 else 0
 
     @property
@@ -254,8 +268,11 @@ class WRMF(MatrixFactorizationRecommender):
         # cold buckets); the exact final/transform half-sweep keeps the full
         # buckets (its Cholesky solver has no hot path).
         csr_t = csr.T.tocsr()
-        w_dt = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
-                else self.dtype)
+        if self.hot_dtype == "auto":
+            w_dt = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
+                    else self.dtype)
+        else:
+            w_dt = jnp.dtype(self.hot_dtype)
         with_presence = self.feedback == "explicit"
         hot_ui, cold_ui = None, csr
         n_hot_items = self._resolve_n_hot(csr)

@@ -123,6 +123,7 @@ def _solve_bucket_implicit(
     sdt,
     hot_W: Optional[jax.Array] = None,   # (B, H) dense hot confidences
     V_hot: Optional[jax.Array] = None,   # (H, d) hot source factors
+    hot_scale: Optional[jax.Array] = None,  # (B,) uint8 dequant scale
 ) -> Tuple[jax.Array, jax.Array]:
     """One bucket of per-entity implicit-feedback normal-equation solves.
 
@@ -148,10 +149,15 @@ def _solve_bucket_implicit(
         if fused_implicit_supported(B, L, d, jnp.dtype(gdt).itemsize, H):
             src_g = jax.lax.optimization_barrier(src_act.astype(gdt))
             Xg = src_g[bucket.col_idx]
+            W_f = None
+            if hot_W is not None:
+                W_f = hot_W.astype(gdt)
+                if hot_scale is not None:
+                    W_f = W_f * hot_scale[:, None].astype(gdt)
             return fused_implicit_solve(
                 XtX, rhs_init, Xg, bucket.values, bucket.nnz, x_init,
                 lam, g,
-                W=None if hot_W is None else hot_W.astype(gdt),
+                W=W_f,
                 Vh=None if V_hot is None else V_hot.astype(gdt),
                 cg_steps=cfg.cg_steps)
 
@@ -215,9 +221,13 @@ def _solve_bucket_implicit(
         # dense head terms (no per-nnz gathers): Wc = c (0 = absent),
         # W1 = c - 1 on present entries.  All (B, H) intermediates stay in
         # the compute dtype — the hot chain is W-block-bandwidth-bound and
-        # f32 copies of the 512 MB block double its cost (PERF.md).
+        # f32 copies of the 512 MB block double its cost (PERF.md).  With a
+        # quantized block the dequant (1 mul by a per-row scalar) fuses into
+        # each pass, so the passes read 1-byte codes instead of bf16.
         Vh = V_hot.astype(gdt)                           # (H, d)
         Wc = hot_W.astype(gdt)
+        if hot_scale is not None:
+            Wc = Wc * hot_scale[:, None].astype(gdt)
         W1 = jnp.where(Wc > 0, Wc - jnp.asarray(1.0, gdt),
                        jnp.asarray(0.0, gdt))
         ce_hot = Wc if offs is None else Wc - W1 * g.astype(gdt)
@@ -426,11 +436,11 @@ def _sweep_prepare(src, lam, g, cfg: ALSConfig, sdt):
 
 def _solve_one_bucket(src_act, x_biases, XtX, rhs_init, bucket, x_init,
                       lam, g, cfg: ALSConfig, sdt, hot_W=None, V_hot=None,
-                      hot_bits=None, nnz_total=None):
+                      hot_bits=None, nnz_total=None, hot_scale=None):
     if cfg.feedback == "implicit":
         return _solve_bucket_implicit(
             src_act, x_biases, XtX, rhs_init, bucket, x_init, lam, g, cfg,
-            sdt, hot_W=hot_W, V_hot=V_hot)
+            sdt, hot_W=hot_W, V_hot=V_hot, hot_scale=hot_scale)
     return _solve_bucket_explicit(src_act, x_biases, bucket, x_init, lam,
                                   cfg, sdt, hot_W=hot_W, V_hot=V_hot,
                                   hot_bits=hot_bits, nnz_total=nnz_total)
@@ -474,9 +484,9 @@ def _solve_scatter(result_act, src_act, x_biases, XtX, rhs_init,
     ids = jnp.minimum(bucket.row_ids, n_tgt - 1)
     valid = bucket.row_ids < n_tgt
     x_init = old_act[ids]
-    hot_W = hot_bits = nnz_total = None
+    hot_W = hot_bits = nnz_total = hot_scale = None
     if hot_pre is not None:
-        hot_W, hot_bits, row_nnz = hot_pre
+        hot_W, hot_bits, row_nnz, hot_scale = hot_pre
         if cfg.feedback == "explicit" and cfg.dynamic_lambda:
             nnz_total = row_nnz
         if not cfg.solve_empty:
@@ -485,6 +495,8 @@ def _solve_scatter(result_act, src_act, x_biases, XtX, rhs_init,
         hot_W = hot.W[ids]
         if hot.present_bits is not None:
             hot_bits = hot.present_bits[ids]
+        if hot.w_scale is not None:
+            hot_scale = hot.w_scale[ids]
         if cfg.feedback == "explicit" and cfg.dynamic_lambda:
             nnz_total = hot.row_nnz[ids]
         if not cfg.solve_empty:
@@ -493,7 +505,8 @@ def _solve_scatter(result_act, src_act, x_biases, XtX, rhs_init,
     y, le = _solve_one_bucket(src_act, x_biases, XtX, rhs_init, bucket,
                               x_init, lam, g, cfg, sdt,
                               hot_W=hot_W, V_hot=V_hot,
-                              hot_bits=hot_bits, nnz_total=nnz_total)
+                              hot_bits=hot_bits, nnz_total=nnz_total,
+                              hot_scale=hot_scale)
     y = jnp.where(valid[:, None], y, 0.0).astype(result_act.dtype)
     loss = jnp.sum(jnp.where(valid, le, 0.0))
     return result_act.at[bucket.row_ids].set(y), loss

@@ -75,8 +75,11 @@ def shard_hot(hot, mesh: Mesh, model_axis: str = "model"):
         pb_spec = col_spec if (col_spec != P() and (H // n) % 8 == 0) else P()
         pb = jax.device_put(pb, NamedSharding(mesh, pb_spec))
     rep = NamedSharding(mesh, P())
+    ws = hot.w_scale
+    if ws is not None:
+        ws = jax.device_put(ws, rep)      # per-ROW scale: replicate
     return HotBlock(jax.device_put(hot.hot_ids, rep), W,
-                    jax.device_put(hot.row_nnz, rep), pb)
+                    jax.device_put(hot.row_nnz, rep), pb, ws)
 
 
 def shard_buckets(

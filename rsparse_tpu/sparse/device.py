@@ -244,12 +244,22 @@ class HotBlock(NamedTuple):
     global-mean centering), so presence is carried separately as a packed
     bitmask ``present_bits`` ((n_rows, ceil(H/8)) uint8, little-endian; the
     bit-expand is three VPU ops fused into the consumer).
+
+    With ``w_dtype=jnp.uint8`` the block is stored *quantized*: ``W`` holds
+    uint8 codes (0 = absent, present entries in 1..255) and ``w_scale`` the
+    per-row dequantization scale, ``confidence = code * w_scale[row]``.  The
+    hot chain is W-bandwidth-bound (PERF.md), so 1-byte codes halve its HBM
+    traffic vs bfloat16 — equivalently, the head can be ~2x wider for the
+    same bandwidth, shrinking the gather-bound cold tail.  Quantization
+    error is bounded by ``w_scale / 2`` per confidence (non-exact, opt-in;
+    requires strictly positive values, i.e. implicit feedback).
     """
 
     hot_ids: jax.Array        # (H,) int32 original column ids
     W: jax.Array              # (n_rows, H) confidence/rating, 0 = absent
     row_nnz: jax.Array        # (n_rows,) int32 TOTAL row nnz (hot + cold)
     present_bits: Optional[jax.Array] = None   # (n_rows, ceil(H/8)) uint8
+    w_scale: Optional[jax.Array] = None        # (n_rows,) f32 dequant scale
 
 
 def split_hot_cold(
@@ -285,8 +295,11 @@ def split_hot_cold(
     rows = rows_all[is_hot]
     hot_cols = hot_pos[csr.indices[is_hot]]
     # build the dense block at (no more than) the requested device width —
-    # a float64 (n_rows, n_hot) intermediate is GBs at bench scale
-    np_w = np.float64 if (w_dtype or dtype) == jnp.float64 else np.float32
+    # a float64 (n_rows, n_hot) intermediate is GBs at bench scale (for the
+    # quantized block the intermediate follows the solve dtype instead)
+    eff = dtype if (w_dtype is not None
+                    and jnp.dtype(w_dtype) == jnp.uint8) else (w_dtype or dtype)
+    np_w = np.float64 if eff == jnp.float64 else np.float32
     W = np.zeros((n_rows, n_hot), np_w)
     W[rows, hot_cols] = csr.data[is_hot]
 
@@ -309,10 +322,28 @@ def split_hot_cold(
         (csr.data[keep], csr.indices[keep], cold_indptr), shape=csr.shape)
 
     w_dtype = w_dtype or dtype
+    w_scale = None
+    if jnp.dtype(w_dtype) == jnp.uint8:
+        # per-row affine-free quantization: code = round(W / s) in 1..255,
+        # s = rowmax / 255.  0 stays the absence sentinel, so values must be
+        # strictly positive (implicit confidences are; reference semantics
+        # reject negatives there too, R/model_WRMF.R preprocess contract)
+        if with_presence or (csr.data[is_hot] <= 0).any():
+            raise ValueError(
+                "uint8 hot block requires strictly positive values "
+                "(implicit-feedback confidences)")
+        wmax = W.max(axis=1)
+        s = np.where(wmax > 0, wmax / 255.0, 1.0).astype(np_w)
+        q = np.clip(np.rint(W / s[:, None]), 1, 255)
+        W = np.where(W > 0, q, 0).astype(np.uint8)
+        # scale dtype follows the solve dtype so exactly-representable
+        # confidences dequantize exactly (code * scale == value)
+        w_scale = jnp.asarray(s, dtype=dtype)
     blk = HotBlock(hot_ids=jnp.asarray(hot_ids),
                    W=jnp.asarray(W, w_dtype),
                    row_nnz=jnp.asarray(row_nnz_total),
-                   present_bits=present_bits)
+                   present_bits=present_bits,
+                   w_scale=w_scale)
     return blk, cold
 
 
@@ -326,7 +357,7 @@ def hot_bucket_rows(hot: Optional[HotBlock], buckets, n_tgt: int):
     access into a free contiguous block.
 
     Returns a tuple aligned with ``buckets``; each entry is
-    ``(W_rows (B, H), bits_rows | None, nnz_rows (B,))``.
+    ``(W_rows (B, H), bits_rows | None, nnz_rows (B,), scale_rows | None)``.
     """
     if hot is None:
         return None
@@ -334,7 +365,8 @@ def hot_bucket_rows(hot: Optional[HotBlock], buckets, n_tgt: int):
     for b in buckets:
         ids = jnp.minimum(b.row_ids, n_tgt - 1)
         bits = None if hot.present_bits is None else hot.present_bits[ids]
-        out.append((hot.W[ids], bits, hot.row_nnz[ids]))
+        scale = None if hot.w_scale is None else hot.w_scale[ids]
+        out.append((hot.W[ids], bits, hot.row_nnz[ids], scale))
     return tuple(out)
 
 

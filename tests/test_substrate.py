@@ -101,6 +101,38 @@ def test_hot_cold_split_roundtrip():
         np.argsort(-counts, kind="stable")[:8])
 
 
+def test_hot_cold_split_uint8_quantization():
+    """uint8 hot blocks: codes in 1..255, 0 = absent, dequantization error
+    bounded by w_scale/2; non-positive values are rejected."""
+    import jax.numpy as jnp
+    from rsparse_tpu.sparse.device import split_hot_cold
+    rng = np.random.RandomState(11)
+    m = sp.random(50, 30, density=0.2, random_state=rng, format="csr")
+    m.data = 1.0 + 5.0 * m.data
+    hot, cold = split_hot_cold(m, 8, w_dtype=jnp.uint8)
+    W = np.asarray(hot.W)
+    s = np.asarray(hot.w_scale)
+    assert W.dtype == np.uint8 and s.shape == (50,)
+    # reconstruct and compare against the exact block
+    hot_f, _ = split_hot_cold(m, 8)
+    exact = np.asarray(hot_f.W)
+    approx = W.astype(np.float32) * s[:, None]
+    present = exact > 0
+    assert ((W > 0) == present).all()          # presence preserved
+    err = np.abs(approx - exact)[present]
+    bound = np.repeat(s, 8).reshape(50, 8)[present] * 0.5 + 1e-6
+    assert (err <= bound).all()
+    # rows without hot entries get the neutral scale 1.0
+    empty_rows = ~present.any(axis=1)
+    if empty_rows.any():
+        np.testing.assert_allclose(s[empty_rows], 1.0)
+    # negative / zero values are not quantizable
+    m2 = m.copy()
+    m2.data[0] = -1.0
+    with pytest.raises(ValueError, match="positive"):
+        split_hot_cold(m2, 8, w_dtype=jnp.uint8)
+
+
 def test_hot_cold_sweep_parity():
     """Implicit CG sweep with the dense-head split == plain sweep."""
     import jax.numpy as jnp

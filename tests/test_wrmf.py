@@ -272,6 +272,42 @@ def test_wrmf_explicit_hot_cold_split_parity():
                                    rtol=1e-9)
 
 
+def test_wrmf_hot_uint8_exact_when_representable():
+    """hot_dtype='uint8' stores quantized confidence codes; when every
+    row's hot values are exactly representable (all equal -> code 255) the
+    quantized fit must equal the unquantized one to machine epsilon."""
+    m = sp.random(200, 150, 0.08, random_state=5, format="csr")
+    m.data[:] = 2.0
+    kw = dict(rank=6, lambda_=0.5, feedback="implicit",
+              solver="conjugate_gradient", seed=0, precision="double")
+    e0 = np.asarray(WRMF(n_hot=32, **kw)
+                    .fit_transform(m, n_iter=3, convergence_tol=-1))
+    e1 = np.asarray(WRMF(n_hot=32, hot_dtype="uint8", **kw)
+                    .fit_transform(m, n_iter=3, convergence_tol=-1))
+    np.testing.assert_allclose(e1, e0, rtol=1e-10, atol=1e-12)
+
+
+def test_wrmf_hot_uint8_quantized_close():
+    """General confidences: the uint8 hot block perturbs each confidence by
+    at most rowmax/510, so the fit stays close to the exact one."""
+    rng = np.random.default_rng(9)
+    m = sp.random(300, 200, 0.08, random_state=9, format="csr")
+    m.data = 1.0 + rng.exponential(2.0, m.nnz)
+    kw = dict(rank=8, lambda_=0.5, feedback="implicit",
+              solver="conjugate_gradient", seed=0, precision="double")
+    e0 = np.asarray(WRMF(n_hot=64, **kw)
+                    .fit_transform(m, n_iter=3, convergence_tol=-1))
+    e1 = np.asarray(WRMF(n_hot=64, hot_dtype="uint8", **kw)
+                    .fit_transform(m, n_iter=3, convergence_tol=-1))
+    denom = np.linalg.norm(e0) + 1e-30
+    assert np.linalg.norm(e1 - e0) / denom < 0.02
+
+
+def test_wrmf_hot_uint8_rejects_explicit():
+    with pytest.raises(ValueError, match="implicit"):
+        WRMF(feedback="explicit", hot_dtype="uint8")
+
+
 def test_wrmf_explicit_hot_cold_bf16_close():
     """bfloat16 compute on the explicit hot path stays close to f32."""
     rng = np.random.default_rng(8)
