@@ -5,11 +5,17 @@ The reference's persistence story is per-model: FTRL ``dump()/load()``
 R/model_WRMF.R:245-249, GloVe tensors R/model_GloVe.R:35-60, soft_als padded
 SVD triples R/SoftALS.R:137-143), otherwise R object serialization.
 
-Here: one generic checkpointer for every model class — device arrays are
-pulled to host and stored in an ``.npz``, JSON-serializable hyperparameters
-in a sidecar; ``load`` rebuilds the model and re-places arrays on device
-(optionally with a sharding).  Orbax is used for async sharded factor
-tables when available; the npz path is the always-works fallback.
+Here: one generic checkpointer for every model class — JSON-serializable
+hyperparameters go to a sidecar; arrays go to either
+
+- an ``.npz`` (host gather; the always-works single-host store), or
+- an **orbax** checkpoint (``store="orbax"``, or automatically whenever a
+  device array is committed to more than one device): every device writes
+  its own shards — factor tables sharded over a mesh are saved WITHOUT a
+  host gather, and ``load(..., sharding=...)`` restores them directly into
+  the requested sharding (multi-host restore).
+
+``load`` rebuilds the model and re-places arrays on device.
 """
 
 from __future__ import annotations
@@ -33,21 +39,47 @@ def _is_jsonable(v) -> bool:
     return isinstance(v, (int, float, str, bool, type(None), list, tuple))
 
 
-def save(model: Any, path: str) -> None:
-    """Save a fitted model to ``path`` (a directory)."""
+def _is_multidevice(v) -> bool:
+    return (isinstance(v, jax.Array)
+            and getattr(v, "sharding", None) is not None
+            and len(v.sharding.device_set) > 1)
+
+
+def _fit_sharding(sharding, shape):
+    """``sharding`` if it tiles ``shape`` evenly, else a replicated sharding
+    on the same mesh (XLA rejects uneven tilings), else None."""
+    if sharding is None:
+        return None
+    try:
+        sharding.shard_shape(tuple(shape))
+        return sharding
+    except Exception:  # noqa: BLE001 - non-divisible or rank mismatch
+        from jax.sharding import NamedSharding, PartitionSpec
+        if isinstance(sharding, NamedSharding):
+            return NamedSharding(sharding.mesh, PartitionSpec())
+        return None
+
+
+def save(model: Any, path: str, store: str = "auto") -> None:
+    """Save a fitted model to ``path`` (a directory).
+
+    ``store``: "npz" | "orbax" | "auto" (orbax when any array is sharded
+    across devices, else npz)."""
     os.makedirs(path, exist_ok=True)
-    arrays: Dict[str, np.ndarray] = {}
+    arrays: Dict[str, Any] = {}
     meta: Dict[str, Any] = {"__class__": type(model).__name__}
     dtypes: Dict[str, str] = {}
+    any_sharded = False
     for k, v in vars(model).items():
         if k in _SKIP or callable(v):
             continue
         if _is_array(v):
-            a = np.asarray(v)
-            if a.dtype == jnp.bfloat16:
-                dtypes[k] = "bfloat16"
-                a = a.astype(np.float32)
-            arrays[k] = a
+            if getattr(v, "dtype", None) is not None and v.dtype.kind in "OUS":
+                meta[k] = [str(s) for s in np.asarray(v).tolist()]
+                meta.setdefault("__strarr__", []).append(k)
+                continue
+            any_sharded |= _is_multidevice(v)
+            arrays[k] = v
         elif hasattr(v, "nnz"):  # scipy matrices (e.g. RankMF features)
             import scipy.sparse as sp
             coo = sp.coo_matrix(v)
@@ -57,8 +89,29 @@ def save(model: Any, path: str) -> None:
             meta.setdefault("__sparse__", {})[k] = list(coo.shape)
         elif _is_jsonable(v):
             meta[k] = v
+    if store == "auto":
+        store = "orbax" if any_sharded else "npz"
+    if store == "orbax":
+        import orbax.checkpoint as ocp
+        meta["__store__"] = "orbax"
+        meta["__orbax_arrays__"] = {
+            k: [list(np.shape(v)), str(v.dtype)] for k, v in arrays.items()}
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(os.path.join(path, "arrays_orbax")),
+                   arrays, force=True)
+        ckptr.wait_until_finished()
+    elif store == "npz":
+        np_arrays: Dict[str, np.ndarray] = {}
+        for k, v in arrays.items():
+            a = np.asarray(v)
+            if a.dtype == jnp.bfloat16:
+                dtypes[k] = "bfloat16"
+                a = a.astype(np.float32)
+            np_arrays[k] = a
+        np.savez_compressed(os.path.join(path, "arrays.npz"), **np_arrays)
+    else:
+        raise ValueError(f"unknown store {store!r}")
     meta["__bf16__"] = dtypes
-    np.savez_compressed(os.path.join(path, "arrays.npz"), **arrays)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1, default=str)
 
@@ -72,32 +125,72 @@ def load(path: str, cls: Optional[Type] = None, sharding=None) -> Any:
     """
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
-    npz = np.load(os.path.join(path, "arrays.npz"))
     if cls is None:
         import rsparse_tpu
         cls = getattr(rsparse_tpu, meta["__class__"])
     model = cls.__new__(cls)
     bf16 = meta.pop("__bf16__", {})
     sparse_shapes = meta.pop("__sparse__", {})
+    store = meta.pop("__store__", "npz")
+    orbax_specs = meta.pop("__orbax_arrays__", {})
+    meta.pop("__strarr__", None)     # string arrays stay plain lists
     meta.pop("__class__", None)
     for k, v in meta.items():
         setattr(model, k, v)
+
+    if store == "orbax":
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        p = os.path.abspath(os.path.join(path, "arrays_orbax"))
+        if sharding is not None:
+            # direct sharded restore: device arrays land in the requested
+            # sharding without a host round-trip (multi-host restore path);
+            # non-float / name-keyed host arrays restore as numpy
+            abstract = {}
+            for k, (shape, dt) in orbax_specs.items():
+                dtype = jnp.bfloat16 if dt == "bfloat16" else np.dtype(dt)
+                shardable = (np.issubdtype(np.dtype(dt), np.floating)
+                             if dt != "bfloat16" else True)
+                shardable = (shardable and not k.startswith("__sp__")
+                             and k != "components" and len(shape) > 0)
+                sh_k = _fit_sharding(sharding, shape) if shardable else None
+                if sh_k is not None:
+                    abstract[k] = jax.ShapeDtypeStruct(
+                        tuple(shape), dtype, sharding=sh_k)
+                else:
+                    # numpy template -> restored as a host numpy array
+                    abstract[k] = np.empty(tuple(shape), dtype)
+            restored = ckptr.restore(p, abstract)
+        else:
+            restored = ckptr.restore(p)
+        files = {k: restored[k] for k in restored}
+    else:
+        npz = np.load(os.path.join(path, "arrays.npz"))
+        files = {k: npz[k] for k in npz.files}
+
     sparse_parts: Dict[str, Dict[str, np.ndarray]] = {}
-    for k in npz.files:
+    for k, a in files.items():
         if k.startswith("__sp__"):
             name, part = k[len("__sp__"):].rsplit("__", 1)
-            sparse_parts.setdefault(name, {})[part] = npz[k]
+            sparse_parts.setdefault(name, {})[part] = np.asarray(a)
             continue
-        a = npz[k]
-        if k in bf16:
+        if store == "orbax" and isinstance(a, jax.Array) and sharding is not None:
+            # already restored into the target sharding
+            if a.dtype == jnp.bfloat16 or jnp.issubdtype(a.dtype, jnp.floating):
+                setattr(model, k, a)
+                continue
+        a = np.asarray(a)
+        if k in bf16 or (store == "orbax"
+                         and orbax_specs.get(k, [None, None])[1] == "bfloat16"):
             arr = jnp.asarray(a, jnp.bfloat16)
         elif k in ("components",) or not np.issubdtype(a.dtype, np.floating):
             setattr(model, k, a)
             continue
         else:
             arr = jnp.asarray(a)
-        if sharding is not None:
-            arr = jax.device_put(arr, sharding)
+        sh_k = _fit_sharding(sharding, arr.shape)
+        if sh_k is not None:
+            arr = jax.device_put(arr, sh_k)
         setattr(model, k, arr)
     import scipy.sparse as sp
     for name, parts in sparse_parts.items():
