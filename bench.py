@@ -385,6 +385,9 @@ def main():
     for name, fn in [
         ("explicit_sweep", lambda: None if quick else measure_sweep(
             csr, RANK, 5, n_hot=N_HOT, feedback="explicit")),
+        # driver config #2's solver axis: exact Cholesky vs CG at rank 128
+        ("cholesky_sweep", lambda: None if quick else measure_sweep(
+            csr, RANK, 3, solver="cholesky")),
         ("topk", lambda: measure_topk(sp.csr_matrix(csr[:8192]), RANK)),
         ("glove", lambda: None if quick else measure_glove()),
         ("soft_impute", lambda: None if quick else measure_soft_impute(

@@ -108,7 +108,8 @@ class WRMF(MatrixFactorizationRecommender):
         #: storage dtype of the dense hot block: "auto" follows
         #: ``compute_dtype``; "uint8" stores quantized confidence codes with
         #: a per-row scale (implicit feedback only; halves the W-block HBM
-        #: traffic, error <= scale/2 per confidence — see HotBlock docs)
+        #: footprint; error < scale per confidence, <= scale/2 for values
+        #: within 510x of the row max — see HotBlock docs)
         if hot_dtype not in ("auto", "uint8", "bfloat16", "float32"):
             raise ValueError(f"unknown hot_dtype {hot_dtype!r}")
         if hot_dtype == "uint8" and feedback != "implicit":
@@ -194,14 +195,24 @@ class WRMF(MatrixFactorizationRecommender):
             return 0
         n_rows, n_cols = csr.shape
         n = self.n_hot
-        w_bytes = 1 if self.hot_dtype == "uint8" else 2
+        # true storage width of the W block (mirrors the w_dt resolution in
+        # fit_transform): uint8 codes, bf16, or the full solve dtype
+        if self.hot_dtype == "uint8":
+            w_bytes = 1
+        elif (self.hot_dtype == "bfloat16"
+              or (self.hot_dtype == "auto"
+                  and self.compute_dtype == "bfloat16")):
+            w_bytes = 2
+        else:
+            w_bytes = jnp.dtype(self.dtype).itemsize
         if n == "auto":
             counts = np.bincount(csr.indices, minlength=n_cols)
             # uint8 halves the per-column W cost -> break-even at half the
             # popularity, and the same bandwidth affords a 2x-wider head
-            n = int((counts >= max(8, n_rows // (256 * 2 // w_bytes))).sum())
+            n = int((counts >= max(8, n_rows // (512 // min(w_bytes, 4))
+                                   )).sum())
         cap = (1 << 30) // max(w_bytes * n_rows, 1)
-        n = int(min(int(n), 8192 * 2 // w_bytes, cap, n_cols))
+        n = int(min(int(n), 16384 // min(w_bytes, 4), cap, n_cols))
         return n if n >= 16 else 0
 
     @property

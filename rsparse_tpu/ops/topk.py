@@ -281,6 +281,8 @@ def top_product(
     y_dev = isinstance(y, jax.Array)
     if not x_dev:
         x = np.asarray(x, np.float32)
+    if not y_dev:
+        y = np.asarray(y)     # accept any array-like (no dtype copy yet)
     n_users, n_items = x.shape[0], y.shape[1]
     if k > n_items:
         raise ValueError(f"k={k} > n_items={n_items}")
@@ -336,11 +338,19 @@ def top_product(
 
     if not y_dev:
         # item factors are typically fixed across predict calls: cache the
-        # staged copy (content-addressed; the bench relay moves ~30 MB/s)
+        # staged copy (content-addressed; the bench relay moves ~30 MB/s).
+        # Fingerprint WITHOUT forcing a contiguous copy — components is
+        # usually an F-contiguous transpose view of the (n_items, R) factor
+        # table, and ascontiguousarray would copy it on every predict call.
         import zlib
+        if y.flags.c_contiguous:
+            fp = zlib.adler32(y)
+        elif y.flags.f_contiguous:
+            fp = zlib.adler32(y.T) ^ 0x5F5F
+        else:
+            fp = zlib.adler32(np.ascontiguousarray(y))
         from ..sparse.device import staged_cached
-        ykey = (y.shape, n_pad,
-                zlib.adler32(np.ascontiguousarray(y, np.float32)))
+        ykey = (y.shape, n_pad, str(y.dtype), fp)
         y_staged = staged_cached("topk_y", sp.csr_matrix((1, 1)), stage_y,
                                  extra=ykey)
     else:

@@ -248,11 +248,13 @@ class HotBlock(NamedTuple):
     With ``w_dtype=jnp.uint8`` the block is stored *quantized*: ``W`` holds
     uint8 codes (0 = absent, present entries in 1..255) and ``w_scale`` the
     per-row dequantization scale, ``confidence = code * w_scale[row]``.  The
-    hot chain is W-bandwidth-bound (PERF.md), so 1-byte codes halve its HBM
-    traffic vs bfloat16 — equivalently, the head can be ~2x wider for the
-    same bandwidth, shrinking the gather-bound cold tail.  Quantization
-    error is bounded by ``w_scale / 2`` per confidence (non-exact, opt-in;
-    requires strictly positive values, i.e. implicit feedback).
+    1-byte codes halve the W block's HBM footprint and per-pass read traffic
+    vs bfloat16.  Quantization error per confidence is below ``w_scale``
+    always, and at most ``w_scale / 2`` for values >= ``w_scale / 2`` —
+    values smaller than half a code unit round UP to code 1 to preserve
+    presence (0 must remain the absence sentinel), so rows whose confidence
+    spread exceeds ~510x over-weight their smallest hot entries.  Non-exact,
+    opt-in; requires strictly positive values (implicit feedback).
     """
 
     hot_ids: jax.Array        # (H,) int32 original column ids
@@ -275,6 +277,12 @@ def split_hot_cold(
     original shape and column ids (hot entries removed structurally, so
     explicitly-stored zero values elsewhere survive), and bucketed solves
     are unchanged; the hot block adds dense rhs/matvec/loss terms.
+
+    Explicit-feedback callers MUST pass ``with_presence=True``: a stored
+    0.0 rating is a legal observed value there, and without presence bits
+    the consumers fall back to ``W != 0`` and silently treat it as absent
+    (bits are only materialized when stored zeros actually land in the hot
+    block, so the flag costs nothing otherwise).
     """
     csr = sp.csr_matrix(x)
     n_rows, n_cols = csr.shape
@@ -376,6 +384,17 @@ _BUCKET_CACHE: dict = {}
 # sized so one RankMF partial_fit (3 entries) + FTRL/FM/GloVe staged
 # buckets coexist without thrashing each other out of the LRU
 _BUCKET_CACHE_MAX = 10
+
+
+def clear_staging_cache() -> int:
+    """Drop every cached staged device array (buckets, top-k item factors,
+    packed bitmasks), releasing their HBM.  The LRU otherwise keeps up to
+    ``_BUCKET_CACHE_MAX`` entries alive for the process lifetime, which can
+    pin multi-GB buffers from past models.  Returns the number of entries
+    dropped."""
+    n = len(_BUCKET_CACHE)
+    _BUCKET_CACHE.clear()
+    return n
 
 
 def _csr_fingerprint(csr: sp.csr_matrix) -> tuple:

@@ -67,6 +67,7 @@ def save(model: Any, path: str, store: str = "auto") -> None:
     across devices, else npz)."""
     os.makedirs(path, exist_ok=True)
     arrays: Dict[str, Any] = {}
+    str_arrays: Dict[str, np.ndarray] = {}
     meta: Dict[str, Any] = {"__class__": type(model).__name__}
     dtypes: Dict[str, str] = {}
     any_sharded = False
@@ -75,8 +76,7 @@ def save(model: Any, path: str, store: str = "auto") -> None:
             continue
         if _is_array(v):
             if getattr(v, "dtype", None) is not None and v.dtype.kind in "OUS":
-                meta[k] = [str(s) for s in np.asarray(v).tolist()]
-                meta.setdefault("__strarr__", []).append(k)
+                str_arrays[k] = np.asarray(v)
                 continue
             any_sharded |= _is_multidevice(v)
             arrays[k] = v
@@ -91,6 +91,19 @@ def save(model: Any, path: str, store: str = "auto") -> None:
             meta[k] = v
     if store == "auto":
         store = "orbax" if any_sharded else "npz"
+    # string / object arrays: npz stores unicode natively; object arrays and
+    # the orbax store degrade to JSON lists (restored back to ndarrays),
+    # which is only faithful for 1-D arrays
+    for k, v in str_arrays.items():
+        if store == "npz" and v.dtype.kind in "US":
+            arrays[k] = v
+        elif v.ndim == 1:
+            meta[k] = [str(s) for s in v.tolist()]
+            meta.setdefault("__strarr__", []).append(k)
+        else:
+            raise ValueError(
+                f"cannot checkpoint {v.ndim}-D string/object array {k!r} "
+                f"(dtype {v.dtype}) in the {store} store")
     if store == "orbax":
         import orbax.checkpoint as ocp
         meta["__store__"] = "orbax"
@@ -133,36 +146,37 @@ def load(path: str, cls: Optional[Type] = None, sharding=None) -> Any:
     sparse_shapes = meta.pop("__sparse__", {})
     store = meta.pop("__store__", "npz")
     orbax_specs = meta.pop("__orbax_arrays__", {})
-    meta.pop("__strarr__", None)     # string arrays stay plain lists
+    strarr = meta.pop("__strarr__", [])
     meta.pop("__class__", None)
     for k, v in meta.items():
-        setattr(model, k, v)
+        setattr(model, k, np.asarray(v) if k in strarr else v)
 
     if store == "orbax":
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
         p = os.path.abspath(os.path.join(path, "arrays_orbax"))
-        if sharding is not None:
-            # direct sharded restore: device arrays land in the requested
-            # sharding without a host round-trip (multi-host restore path);
-            # non-float / name-keyed host arrays restore as numpy
-            abstract = {}
-            for k, (shape, dt) in orbax_specs.items():
-                dtype = jnp.bfloat16 if dt == "bfloat16" else np.dtype(dt)
-                shardable = (np.issubdtype(np.dtype(dt), np.floating)
-                             if dt != "bfloat16" else True)
-                shardable = (shardable and not k.startswith("__sp__")
-                             and k != "components" and len(shape) > 0)
-                sh_k = _fit_sharding(sharding, shape) if shardable else None
-                if sh_k is not None:
-                    abstract[k] = jax.ShapeDtypeStruct(
-                        tuple(shape), dtype, sharding=sh_k)
-                else:
-                    # numpy template -> restored as a host numpy array
-                    abstract[k] = np.empty(tuple(shape), dtype)
-            restored = ckptr.restore(p, abstract)
-        else:
-            restored = ckptr.restore(p)
+        # always restore against a concrete target tree built from the saved
+        # specs: restoring with no target is topology-dependent (orbax warns
+        # UNSAFE, and a checkpoint written on an N-device mesh then has no
+        # valid restore on a different device count).  With ``sharding``,
+        # float factor arrays land directly in the requested sharding (no
+        # host round-trip); everything else restores as host numpy.
+        abstract = {}
+        for k, (shape, dt) in orbax_specs.items():
+            dtype = jnp.bfloat16 if dt == "bfloat16" else np.dtype(dt)
+            shardable = (np.issubdtype(np.dtype(dt), np.floating)
+                         if dt != "bfloat16" else True)
+            shardable = (shardable and not k.startswith("__sp__")
+                         and k != "components" and len(shape) > 0)
+            sh_k = (_fit_sharding(sharding, shape)
+                    if (shardable and sharding is not None) else None)
+            if sh_k is not None:
+                abstract[k] = jax.ShapeDtypeStruct(
+                    tuple(shape), dtype, sharding=sh_k)
+            else:
+                # numpy template -> restored as a host numpy array
+                abstract[k] = np.empty(tuple(shape), dtype)
+        restored = ckptr.restore(p, abstract)
         files = {k: restored[k] for k in restored}
     else:
         npz = np.load(os.path.join(path, "arrays.npz"))

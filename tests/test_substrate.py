@@ -131,6 +131,16 @@ def test_hot_cold_split_uint8_quantization():
     m2.data[0] = -1.0
     with pytest.raises(ValueError, match="positive"):
         split_hot_cold(m2, 8, w_dtype=jnp.uint8)
+    # sub-code-unit values round UP to code 1 (presence preserved; error
+    # < scale, not scale/2 — the documented wide-dynamic-range caveat)
+    wide = sp.csr_matrix(np.array([[0.001, 2550.0, 0.0, 1.0]] * 4))
+    hw, _ = split_hot_cold(wide, 4, w_dtype=jnp.uint8)
+    Ww, sw = np.asarray(hw.W), np.asarray(hw.w_scale)
+    order = np.argsort(np.asarray(hw.hot_ids))
+    np.testing.assert_allclose(sw, 10.0)
+    row = Ww[0][order]                       # back to original column order
+    assert row[0] == 1 and row[2] == 0       # tiny value kept; absent stays 0
+    assert abs(row[0] * sw[0] - 0.001) < sw[0]
 
 
 def test_hot_cold_sweep_parity():

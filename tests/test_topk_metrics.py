@@ -24,6 +24,18 @@ def test_top_product_matches_dense_oracle():
         scores, np.take_along_axis(dense, expect, 1), rtol=1e-5)
 
 
+def test_top_product_accepts_array_likes():
+    """Plain Python lists / float64 inputs keep the reference's loose
+    input contract (src/matrix_top_product.cpp accepts any numeric)."""
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((5, 4))
+    y = rng.standard_normal((4, 9))
+    i0, s0 = top_product(x, y, 3)
+    i1, s1 = top_product(x.tolist(), y.tolist(), 3)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-6)
+
+
 def test_top_product_masking():
     rng = np.random.default_rng(1)
     x = rng.standard_normal((10, 4)).astype(np.float32)

@@ -308,6 +308,29 @@ def test_wrmf_hot_uint8_rejects_explicit():
         WRMF(feedback="explicit", hot_dtype="uint8")
 
 
+def test_wrmf_resolve_n_hot_respects_memory_budget():
+    """The 1 GB W-block cap must account for the TRUE storage width of the
+    hot dtype (uint8 / bf16 / f32 / f64), not a fixed 2 bytes."""
+    rng = np.random.default_rng(0)
+    n_r, n_c, nnz = 1 << 20, 4096, 100_000
+    csr = sp.csr_matrix(
+        (np.ones(nnz, np.float32),
+         (rng.integers(0, n_r, nnz), rng.integers(0, n_c, nnz))),
+        shape=(n_r, n_c))
+    n_rows = csr.shape[0]
+    for hot_dtype, compute, precision, w_bytes in [
+        ("uint8", "float32", "float32", 1),
+        ("auto", "bfloat16", "float32", 2),
+        ("auto", "float32", "float32", 4),
+        ("float32", "bfloat16", "float32", 4),
+        ("auto", "float32", "double", 8),
+    ]:
+        m = WRMF(n_hot=1 << 14, hot_dtype=hot_dtype, compute_dtype=compute,
+                 precision=precision)
+        n = m._resolve_n_hot(csr)
+        assert w_bytes * n_rows * n <= (1 << 30), (hot_dtype, compute, n)
+
+
 def test_wrmf_explicit_hot_cold_bf16_close():
     """bfloat16 compute on the explicit hot path stays close to f32."""
     rng = np.random.default_rng(8)
