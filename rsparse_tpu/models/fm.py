@@ -163,10 +163,15 @@ class FactorizationMachine:
         outs = []  # defer device->host reads so dispatches pipeline
         for b in br.buckets:
             rid = jnp.minimum(b.row_ids, n_rows - 1)
+            # zero sample weight on batch-padding rows: dL carries sample_w,
+            # so this kills their (otherwise unmasked) intercept/accumulator
+            # contributions — the reference updates w0 once per REAL sample
+            # (src/factorization_machine.cpp:147-149)
+            w_valid = jnp.where(b.row_ids < n_rows, wd[rid], 0.0)
             (self.w0, self.acc_w0, self.w, self.v, self.acc_w, self.acc_v,
              yh) = _fm_block(
                 self.w0, self.acc_w0, self.w, self.v, self.acc_w, self.acc_v,
-                b.col_idx, b.values, b.mask(), yd[rid], wd[rid],
+                b.col_idx, b.values, b.mask(), yd[rid], w_valid,
                 self.learning_rate_w, self.learning_rate_v,
                 self.lambda_w, self.lambda_v,
                 family=self.family_code, intercept=self.intercept,
@@ -182,6 +187,8 @@ class FactorizationMachine:
         return self._run(x, y, weights, do_update=True)
 
     def fit(self, x, y, weights=None, n_iter: int = 1) -> np.ndarray:
+        if n_iter < 1:
+            raise ValueError("n_iter must be >= 1")
         for _ in range(n_iter):
             out = self.partial_fit(x, y, weights)
         return out

@@ -92,7 +92,7 @@ class FTRL:
         precision: str = "float32",
         seed: Optional[int] = None,
     ):
-        if not abs(dropout) < 1:
+        if not 0 <= dropout < 1:
             raise ValueError("dropout must be in [0, 1)")
         if not 0 <= l1_ratio <= 1:
             raise ValueError("l1_ratio must be in [0, 1]")
@@ -171,6 +171,8 @@ class FTRL:
         return self._run(x, y, weights, do_update=True)
 
     def fit(self, x, y, weights=None, n_iter: int = 1):
+        if n_iter < 1:
+            raise ValueError("n_iter must be >= 1")
         for i in range(n_iter):
             logger.debug("FTRL iter %03d", i + 1)
             out = self.partial_fit(x, y, weights)

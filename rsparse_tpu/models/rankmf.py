@@ -155,8 +155,10 @@ def _rankmf_batch(W, H, accW, accH, key, flat_idx, indptr, row_nnz,
 
     weight = jax.nn.sigmoid(d_sel)
     if loss_kind == WARP:
-        # rank_loss(x) = log1p(x + 1) (src/rankmf.cpp:25-27)
-        norm = np.log1p(float(n_item) + 1.0)
+        # rank_loss(x) = log1p(x + 1) (src/rankmf.cpp:25-27).  float(): a
+        # strong np.float64 scalar would upcast the whole gradient chain
+        # under x64 (f64 scatters into the f32 tables)
+        norm = float(np.log1p(float(n_item) + 1.0))
         weight = weight * jnp.log1p(
             (n_item - 1.0) / (first_k + 1.0) + 1.0) / norm
     weight = jnp.where(found, weight, 0.0)
@@ -180,10 +182,20 @@ def _rankmf_batch(W, H, accW, accH, key, flat_idx, indptr, row_nnz,
         if optimizer == ADAGRAD:
             acc = acc.at[fi].add(g2f)
             denom = jnp.sqrt(acc[fi] + EPS)            # (S, F)
-        else:  # RMSPROP: acc <- gamma*acc + (1-gamma)*g2 per touched feature
+        else:
+            # RMSPROP: acc <- gamma*acc + (1-gamma)*sum(g2) once per touched
+            # feature per batch (the batched analog of the reference's
+            # per-sample EMA, src/rankmf.cpp:86-100).  The (new - old) delta
+            # must be divided by the feature's duplicate count in this
+            # batch: naive scatter-add of it once per duplicate would apply
+            # the (gamma-1)*old term n times and drive the accumulator
+            # negative (NaN under sqrt) whenever a user/item repeats.
             old = acc[fi]
-            new = gamma * old + (1 - gamma) * g2[:, None]
-            acc = acc.at[fi].add(jnp.where(fmask, new - old, 0.0))
+            cnt = jnp.zeros((acc.shape[0],), acc.dtype).at[fi].add(
+                fmask.astype(acc.dtype))
+            n_dup = jnp.maximum(cnt[fi], 1.0)
+            delta = (gamma - 1.0) * old / n_dup + (1.0 - gamma) * g2[:, None]
+            acc = acc.at[fi].add(jnp.where(fmask, delta, 0.0))
             denom = jnp.sqrt(acc[fi] + EPS)
         step = grad[:, None, :] / denom[..., None] + lam * comb[:, None, :]
         step = jnp.where(fmask[..., None], step, 0.0)
@@ -339,11 +351,16 @@ class RankMF(MatrixFactorizationRecommender):
         for _ in range(n_chunks):
             self._key, sub = jax.random.split(self._key)
             keys = jax.random.split(sub, CHUNK)
+            # scalars ride at the table dtype: python floats trace as f64
+            # under x64 and would upcast the scatter updates (a future
+            # jax error for .at[].add with mismatched dtypes)
+            sc = lambda v: jnp.asarray(v, W.dtype)
             (W, H, accW, accH, an, ad) = _rankmf_epoch(
                 W, H, accW, accH, keys, flat_idx, indptr, row_nnz, uf, itf,
-                self.learning_rate, self.gamma, self.lambda_user,
-                self.lambda_item_positive, self.lambda_item_negative,
-                self.margin, cfg, n_item, bs_steps)
+                sc(self.learning_rate), sc(self.gamma), sc(self.lambda_user),
+                sc(self.lambda_item_positive),
+                sc(self.lambda_item_negative),
+                sc(self.margin), cfg, n_item, bs_steps)
             auc_n, auc_d = an, ad  # last chunk's counters (freshest estimate)
         self.auc_history.append(int(auc_n) / max(int(auc_d), 1))
         logger.info("RankMF: %d updates, AUC~%.3f", n_batches * S,
@@ -362,7 +379,10 @@ class RankMF(MatrixFactorizationRecommender):
         self._components_cache = None
         self._components_l2 = None
         if self._identity_user_feats:
-            return W
+            # defensive copy: the live table is DONATED into the next
+            # partial_fit's _rankmf_epoch, which would invalidate a
+            # caller-held return value ("Array has been deleted")
+            return jnp.copy(W)
         return user_features @ np.asarray(W, np.float64)
 
     @property
@@ -391,6 +411,6 @@ class RankMF(MatrixFactorizationRecommender):
                 raise ValueError(
                     f"x has {x.shape[0]} rows but the model was trained "
                     f"with identity features for {W.shape[0]} users")
-            return W
+            return jnp.copy(W)   # live table is donated on the next fit call
         return self._user_features @ np.asarray(
             self.user_features_embeddings, np.float64)

@@ -418,10 +418,16 @@ def _sweep_prepare(src, lam, g, cfg: ALSConfig, sdt):
     else:
         x_biases = None
 
-    XtX = jnp.einsum("nd,ne->de", src_act.astype(sdt), src_act.astype(sdt),
-                     preferred_element_type=sdt)
     if cfg.feedback == "implicit":
+        XtX = jnp.einsum("nd,ne->de", src_act.astype(sdt),
+                         src_act.astype(sdt), preferred_element_type=sdt)
         XtX = XtX + lam * jnp.eye(d, dtype=sdt)
+    else:
+        # explicit feedback builds per-entity Grams from the gathered rows
+        # only (wrmf_explicit.hpp:74-78) — the full-table Gram would be an
+        # n_src x d^2 MXU pass whose value no consumer reads.  A 1x1 token
+        # keeps the bucket-program signature (its dtype carries sdt).
+        XtX = jnp.zeros((1, 1), sdt)
 
     rhs_init = None
     if cfg.feedback == "implicit":

@@ -292,8 +292,9 @@ def top_product(
     exclude_mask = None
     if exclude is not None and len(exclude) > 0:
         exclude = np.asarray(exclude)
-        if exclude.max() >= n_items:
-            raise ValueError("some items_exclude indices are >= number of items")
+        if exclude.max() >= n_items or exclude.min() < 0:
+            raise ValueError(
+                "items_exclude indices must be in [0, number of items)")
         exclude_mask = np.zeros((n_items,), bool)
         exclude_mask[exclude] = True
 

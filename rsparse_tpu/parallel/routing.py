@@ -52,7 +52,9 @@ def build_routing_plan(
     owner(i) = i // shard_rows.
     """
     if n_src % n_dev:
-        raise ValueError("n_src must divide n_dev for contiguous sharding")
+        raise ValueError(
+            "n_dev must divide n_src for contiguous sharding "
+            f"(got n_src={n_src}, n_dev={n_dev}); pad the source table")
     shard_rows = n_src // n_dev
 
     needed = []   # per device: per owner unique local ids

@@ -86,6 +86,52 @@ def test_rankmf_side_features():
     np.testing.assert_allclose(comps[:, 3], comps[:, 23], rtol=1e-6)
 
 
+def test_fm_intercept_ignores_padding_rows():
+    """Batch-padding rows must not contribute to the intercept update.
+
+    One real row padded to a 32-row block: gaussian FM on a single feature
+    has no interaction term (s1^2 == s2), so the exact post-update w0 is
+    computable by hand: dL = 2*(0 - y); acc = 1 + dL^2; w0 = -lr*dL/sqrt(acc).
+    Pre-fix, ~31 phantom copies of dL inflated both sums."""
+    from rsparse_tpu.models.fm import FactorizationMachine
+    x = sp.csr_matrix(np.array([[1.0]]))
+    m = FactorizationMachine(learning_rate_w=0.2, rank=1, family="gaussian",
+                             seed=0)
+    m.partial_fit(x, np.array([1.0]))
+    expect = 0.2 * 2.0 / np.sqrt(1.0 + 4.0)
+    np.testing.assert_allclose(float(m.w0), expect, rtol=1e-6)
+
+
+def test_rankmf_rmsprop_duplicate_ids_stay_finite():
+    """RMSProp accumulators under heavy in-batch duplication (4 users,
+    batch 512) must stay non-negative: the EMA delta is divided by the
+    duplicate count, else the accumulator goes negative -> NaN under sqrt."""
+    rng = np.random.RandomState(3)
+    x = sp.random(4, 30, density=0.6, random_state=rng, format="csr")
+    x.data[:] = 1.0
+    model = RankMF(rank=4, learning_rate=0.1, optimizer="rmsprop",
+                   gamma=0.0, loss="bpr", seed=0, batch_size=512)
+    emb = model.partial_fit_transform(x, n_iter=30)
+    assert np.isfinite(np.asarray(emb)).all()
+    assert np.isfinite(np.asarray(model._accW)).all()
+    assert (np.asarray(model._accW) >= 0).all()
+    assert np.isfinite(model.components).all()
+
+
+def test_rankmf_returned_embeddings_survive_refit():
+    """partial_fit_transform/transform return buffers that must stay valid
+    after the next fit call (the live tables are donated into the epoch)."""
+    rng = np.random.RandomState(4)
+    x = sp.random(12, 20, density=0.4, random_state=rng, format="csr")
+    x.data[:] = 1.0
+    model = RankMF(rank=4, seed=0, batch_size=64)
+    emb1 = model.partial_fit_transform(x, n_iter=2)
+    t1 = model.transform(x)
+    model.partial_fit_transform(x, n_iter=2)      # donates the live tables
+    assert np.isfinite(np.asarray(emb1)).all()    # still readable
+    assert np.isfinite(np.asarray(t1)).all()
+
+
 def test_rankmf_rmsprop_sigmoid():
     rng = np.random.RandomState(1)
     x = sp.random(40, 25, density=0.25, random_state=rng, format="csr")

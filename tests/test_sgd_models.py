@@ -23,6 +23,19 @@ def test_glove_ml100k(ml100k):
     assert np.isfinite(np.asarray(emb)).all()
 
 
+def test_ftrl_validates_dropout_and_n_iter():
+    with pytest.raises(ValueError, match="dropout"):
+        FTRL(dropout=-0.5)
+    rng = np.random.RandomState(0)
+    x = sp.random(20, 10, density=0.3, random_state=rng, format="csr")
+    y = rng.randint(0, 2, 20).astype(float)
+    with pytest.raises(ValueError, match="n_iter"):
+        FTRL().fit(x, y, n_iter=0)
+    from rsparse_tpu.models.fm import FactorizationMachine
+    with pytest.raises(ValueError, match="n_iter"):
+        FactorizationMachine().fit(x, y, n_iter=0)
+
+
 def test_glove_triangular_equivalence():
     """A triangular co-occurrence runs a second pass on the transposed
     triplets (reference R/model_GloVe.R:133-136) — the final cost should

@@ -24,6 +24,27 @@ def test_top_product_matches_dense_oracle():
         scores, np.take_along_axis(dense, expect, 1), rtol=1e-5)
 
 
+def test_exact_top_k_group_merge_vs_oracle():
+    """The two-stage group/merge variant (kept as the benchmark
+    alternative to the tournament) stays exact."""
+    import jax.numpy as jnp
+    from rsparse_tpu.ops.topk import exact_top_k
+    rng = np.random.default_rng(5)
+    s = rng.standard_normal((9, 1500)).astype(np.float32)
+    vs, vi = exact_top_k(jnp.asarray(s), 12, group=256)
+    expect = np.argsort(-s, axis=1, kind="stable")[:, :12]
+    np.testing.assert_array_equal(np.asarray(vi), expect)
+
+
+def test_top_product_rejects_negative_exclude():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((4, 3)).astype(np.float32)
+    y = rng.standard_normal((3, 8)).astype(np.float32)
+    import pytest
+    with pytest.raises(ValueError, match="items_exclude"):
+        top_product(x, y, 2, exclude=np.array([-5]))
+
+
 def test_top_product_accepts_array_likes():
     """Plain Python lists / float64 inputs keep the reference's loose
     input contract (src/matrix_top_product.cpp accepts any numeric)."""
