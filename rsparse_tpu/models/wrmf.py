@@ -37,6 +37,29 @@ from ..sparse.device import (BucketedRows, bucket_rows, hot_bucket_rows,
 from .base import MatrixFactorizationRecommender, get_names
 
 
+class _FitState:
+    """Mid-fit WRMF checkpoint payload (factor tables + loop counters) —
+    serialized through utils.checkpoint, so mesh-sharded tables ride the
+    orbax store (per-device writes, no host gather)."""
+
+
+def _save_fit_state(path, U, V, it, loss_history, loss_prev, global_bias):
+    from ..utils import checkpoint
+    st = _FitState()
+    st.U, st.V, st.it = U, V, int(it)
+    st.loss_history = [float(l) for l in loss_history]
+    st.loss_prev = float(loss_prev)
+    st.global_bias = float(global_bias)
+    checkpoint.save(st, path)
+    logger.info("fit checkpoint written to %s (iteration %d)", path, it)
+
+
+def _load_fit_state(path):
+    import os
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        return None
+    from ..utils import checkpoint
+    return checkpoint.load(path, cls=_FitState)
 
 
 class WRMF(MatrixFactorizationRecommender):
@@ -238,9 +261,22 @@ class WRMF(MatrixFactorizationRecommender):
     # -- fitting -----------------------------------------------------------
 
     def fit_transform(self, x: sp.spmatrix, n_iter: int = 10,
-                      convergence_tol: Optional[float] = None) -> jax.Array:
+                      convergence_tol: Optional[float] = None,
+                      checkpoint_path: Optional[str] = None,
+                      checkpoint_every: int = 1,
+                      resume: bool = False) -> jax.Array:
         """Alternating sweeps over items and users; returns user embeddings
-        of shape (n_users, rank [+2 with biases])."""
+        of shape (n_users, rank [+2 with biases]).
+
+        ``checkpoint_path``: directory to write the full fit state (factor
+        tables + iteration counter + loss history) every
+        ``checkpoint_every`` iterations — the restart story for long
+        multi-host fits (sharded tables go through the orbax store without
+        a host gather).  ``resume=True`` picks up from the latest state in
+        ``checkpoint_path`` (same ``x`` and hyperparameters assumed); the
+        remaining iterations are bit-identical to an uninterrupted fit
+        because the ALS loop is deterministic given (U, V).
+        """
         if convergence_tol is None:
             convergence_tol = 0.005 if self.feedback == "implicit" else 0.001
 
@@ -360,7 +396,22 @@ class WRMF(MatrixFactorizationRecommender):
         loss_prev = math.inf
         self.loss_history = []
         self.fit_trace = FitTrace()
-        for it in range(n_iter):
+        start_iter = 0
+        if resume:
+            if checkpoint_path is None:
+                raise ValueError("resume=True requires checkpoint_path")
+            state = _load_fit_state(checkpoint_path)
+            if state is not None:
+                U = self._place_factors(jnp.asarray(state.U, self.dtype))
+                V = self._place_factors(jnp.asarray(state.V, self.dtype))
+                start_iter = int(state.it)
+                self.loss_history = list(state.loss_history)
+                loss_prev = float(state.loss_prev)
+                self.global_bias = float(state.global_bias)
+                g = self.global_bias if self.feedback == "implicit" else 0.0
+                logger.info("resumed fit from %s at iteration %d",
+                            checkpoint_path, start_iter)
+        for it in range(start_iter, n_iter):
             with self.fit_trace.phase(it + 1, "items") as rec:
                 V, loss = self._sweep(U, V, iu.buckets, self._cnt_u,
                                       lam, g, cfg_items, hot_iu,
@@ -376,6 +427,11 @@ class WRMF(MatrixFactorizationRecommender):
                 rec["loss"] = loss
             logger.info("iter %d (users) loss = %.4f", it + 1, loss)
             self.loss_history.append(loss)
+            if checkpoint_path and (it + 1) % max(checkpoint_every, 1) == 0:
+                # the resumed loop's loss_prev is THIS iteration's loss
+                # (matching the uninterrupted `loss_prev = loss` below)
+                _save_fit_state(checkpoint_path, U, V, it + 1,
+                                self.loss_history, loss, self.global_bias)
             if loss == 0.0 or loss_prev / loss - 1 < convergence_tol:
                 logger.info("converged after %d iterations", it + 1)
                 break

@@ -96,6 +96,37 @@ def test_checkpoint_sharded_save_restore(tmp_path, ml100k_split):
                                np.asarray(m.components))
 
 
+def test_checkpoint_midfit_resume_exact(tmp_path, ml100k_split):
+    """Interrupted fit + resume must be bit-identical to an uninterrupted
+    one: the ALS loop is deterministic given (U, V), and the fit state
+    carries everything else (iteration counter, loss history, biases)."""
+    train, _ = ml100k_split
+    kw = dict(rank=5, lambda_=0.5, feedback="implicit",
+              solver="conjugate_gradient", precision="double", seed=0,
+              with_global_bias=True)
+    full = WRMF(**kw)
+    e_full = np.asarray(full.fit_transform(train, n_iter=6,
+                                           convergence_tol=-1))
+
+    path = str(tmp_path / "fit_state")
+    part = WRMF(**kw)
+    part.fit_transform(train, n_iter=3, convergence_tol=-1,
+                       checkpoint_path=path, checkpoint_every=1)
+    resumed = WRMF(**kw)
+    e_res = np.asarray(resumed.fit_transform(
+        train, n_iter=6, convergence_tol=-1,
+        checkpoint_path=path, resume=True))
+    np.testing.assert_array_equal(e_res, e_full)
+    np.testing.assert_allclose(resumed.loss_history, full.loss_history,
+                               rtol=1e-12)
+    # resume with no checkpoint on disk falls back to a fresh fit
+    fresh = WRMF(**kw)
+    e_fresh = np.asarray(fresh.fit_transform(
+        train, n_iter=6, convergence_tol=-1,
+        checkpoint_path=str(tmp_path / "nope"), resume=True))
+    np.testing.assert_array_equal(e_fresh, e_full)
+
+
 def test_checkpoint_ftrl(tmp_path):
     rs = np.random.RandomState(0)
     x = sp.random(200, 50, density=0.2, random_state=rs, format="csr")
