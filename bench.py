@@ -137,7 +137,7 @@ def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
     return ups
 
 
-def measure_topk(csr, rank, k=10, user_chunk=4096):
+def measure_topk(csr, rank, k=10, user_chunk=256):
     """Device-resident masked top-k throughput (the host->device staging of
     embeddings runs at tunnel speed on the bench relay and is not part of
     the metric; real hosts move it over PCIe)."""

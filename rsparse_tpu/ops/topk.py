@@ -268,7 +268,7 @@ def top_product(
     not_recommend: Optional[sp.spmatrix] = None,
     exclude: Optional[np.ndarray] = None,
     glob_mean: float = 0.0,
-    user_chunk: int = 1024,
+    user_chunk: int = 256,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Top-k items by score ``x @ y + glob_mean`` with masking.
 
@@ -276,6 +276,11 @@ def top_product(
     Returns (indices (n_users, k) int32 0-based, scores (n_users, k)).
     Same contract as the reference ``top_product``
     (src/matrix_top_product.cpp:20-102) minus R's 1-based indexing.
+
+    ``user_chunk``: rows per scanned device step.  The tournament's k
+    take/re-scan rounds cost O(B) each, so SMALL chunks win as long as the
+    scan keeps the MXU busy — measured optimum 256 on v5e at 32k items
+    (34G masked item-scores/s; 22G at the old 1024, 25G at 128).
     """
     x_dev = isinstance(x, jax.Array)
     y_dev = isinstance(y, jax.Array)
