@@ -15,6 +15,7 @@ wildly-mismatched row lengths, no dynamic shapes.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
@@ -270,6 +271,7 @@ def split_hot_cold(
     dtype=jnp.float32,
     w_dtype=None,
     with_presence: bool = False,
+    device_build: bool = True,
 ) -> Tuple[Optional[HotBlock], sp.csr_matrix]:
     """Split columns into a dense hot block + a cold remainder CSR.
 
@@ -302,17 +304,13 @@ def split_hot_cold(
                          np.diff(csr.indptr))
     rows = rows_all[is_hot]
     hot_cols = hot_pos[csr.indices[is_hot]]
-    # build the dense block at (no more than) the requested device width —
-    # a float64 (n_rows, n_hot) intermediate is GBs at bench scale (for the
-    # quantized block the intermediate follows the solve dtype instead)
+    hot_data = csr.data[is_hot]
     eff = dtype if (w_dtype is not None
                     and jnp.dtype(w_dtype) == jnp.uint8) else (w_dtype or dtype)
     np_w = np.float64 if eff == jnp.float64 else np.float32
-    W = np.zeros((n_rows, n_hot), np_w)
-    W[rows, hot_cols] = csr.data[is_hot]
 
     present_bits = None
-    if with_presence and (csr.data[is_hot] == 0).any():
+    if with_presence and (hot_data == 0).any():
         # presence bits are only physically needed when the hot block holds
         # explicitly-stored ZERO values (``W != 0`` is exact otherwise)
         present = np.zeros((n_rows, -(-n_hot // 8) * 8), bool)
@@ -331,28 +329,51 @@ def split_hot_cold(
 
     w_dtype = w_dtype or dtype
     w_scale = None
+    scatter_vals = hot_data.astype(np_w)
     if jnp.dtype(w_dtype) == jnp.uint8:
-        # per-row affine-free quantization: code = round(W / s) in 1..255,
+        # per-row affine-free quantization: code = round(v / s) in 1..255,
         # s = rowmax / 255.  0 stays the absence sentinel, so values must be
         # strictly positive (implicit confidences are; reference semantics
         # reject negatives there too, R/model_WRMF.R preprocess contract)
-        if with_presence or (csr.data[is_hot] <= 0).any():
+        if with_presence or (hot_data <= 0).any():
             raise ValueError(
                 "uint8 hot block requires strictly positive values "
                 "(implicit-feedback confidences)")
-        wmax = W.max(axis=1)
+        wmax = np.zeros((n_rows,), np_w)
+        np.maximum.at(wmax, rows, scatter_vals)
         s = np.where(wmax > 0, wmax / 255.0, 1.0).astype(np_w)
-        q = np.clip(np.rint(W / s[:, None]), 1, 255)
-        W = np.where(W > 0, q, 0).astype(np.uint8)
+        scatter_vals = np.clip(np.rint(scatter_vals / s[rows]),
+                               1, 255).astype(np.uint8)
         # scale dtype follows the solve dtype so exactly-representable
         # confidences dequantize exactly (code * scale == value)
         w_scale = jnp.asarray(s, dtype=dtype)
+
+    if device_build:
+        # build the dense W on device from the hot COO triplets: ~10 B/nnz
+        # over the wire instead of the full (n_rows, H) block (512 MB+ at
+        # bench scale), and no dense host intermediate at all
+        W = _scatter_hot_block(
+            jnp.asarray(rows.astype(np.int32)),
+            jnp.asarray(hot_cols.astype(np.int32)),
+            jnp.asarray(scatter_vals), n_rows, n_hot, str(jnp.dtype(w_dtype)))
+    else:
+        Wh = np.zeros((n_rows, n_hot), scatter_vals.dtype)
+        Wh[rows, hot_cols] = scatter_vals
+        W = jnp.asarray(Wh, w_dtype)
     blk = HotBlock(hot_ids=jnp.asarray(hot_ids),
-                   W=jnp.asarray(W, w_dtype),
+                   W=W,
                    row_nnz=jnp.asarray(row_nnz_total),
                    present_bits=present_bits,
                    w_scale=w_scale)
     return blk, cold
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _scatter_hot_block(rows, cols, vals, n_rows: int, n_hot: int,
+                       w_dtype: str):
+    W = jnp.zeros((n_rows, n_hot), jnp.dtype(w_dtype))
+    return W.at[rows, cols].set(vals.astype(W.dtype), mode="drop",
+                                unique_indices=True)
 
 
 def hot_bucket_rows(hot: Optional[HotBlock], buckets, n_tgt: int):
@@ -369,12 +390,19 @@ def hot_bucket_rows(hot: Optional[HotBlock], buckets, n_tgt: int):
     """
     if hot is None:
         return None
+    # one jitted program for ALL buckets: per-bucket eager gathers each pay
+    # a full dispatch round-trip (50s+ on the bench relay for 18 buckets)
+    return _gather_hot_rows(hot.W, hot.present_bits, hot.row_nnz,
+                            hot.w_scale, tuple(b.row_ids for b in buckets))
+
+
+@jax.jit
+def _gather_hot_rows(W, bits, row_nnz, scale, row_ids_tuple):
     out = []
-    for b in buckets:
-        ids = jnp.minimum(b.row_ids, n_tgt - 1)
-        bits = None if hot.present_bits is None else hot.present_bits[ids]
-        scale = None if hot.w_scale is None else hot.w_scale[ids]
-        out.append((hot.W[ids], bits, hot.row_nnz[ids], scale))
+    for rid in row_ids_tuple:
+        ids = jnp.minimum(rid, W.shape[0] - 1)
+        out.append((W[ids], None if bits is None else bits[ids],
+                    row_nnz[ids], None if scale is None else scale[ids]))
     return tuple(out)
 
 
