@@ -36,6 +36,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..config import accum_dtype
 from ..sparse.device import RowBucket
@@ -48,6 +49,16 @@ NNLS = 2
 
 _SOLVER_CODES = {"cholesky": CHOLESKY, "conjugate_gradient": CONJUGATE_GRADIENT,
                  "nnls": NNLS}
+
+
+def _exact_prec(gdt):
+    """Matmul precision for the exact (Cholesky/NNLS) solver inputs: with
+    f32 operands the TPU default is ONE bf16 MXU pass (~3e-3 relative error
+    on the normal equations), so f32 compute means HIGHEST there; bf16
+    operands keep the default (the user opted into reduced precision).  The
+    exact paths are solve-dominated, so the multi-pass f32 dots are cheap.
+    """
+    return lax.Precision.HIGHEST if gdt == jnp.float32 else None
 
 
 @dataclass(frozen=True)
@@ -213,7 +224,8 @@ def _solve_bucket_implicit(
 
     c_eff = cm if offs is None else cm - cm1 * offs
     rhs = jnp.einsum("bld,bl->bd", Xg, c_eff.astype(gdt),
-                     preferred_element_type=sdt)
+                     preferred_element_type=sdt,
+                     precision=_exact_prec(gdt))
     if rhs_init is not None:
         rhs = rhs + rhs_init[None, :]
 
@@ -252,7 +264,8 @@ def _solve_bucket_implicit(
     else:
         Xgw = (Xg.astype(sdt) * cm1[..., None]).astype(gdt)
         lhs = XtX[None] + jnp.einsum("bld,ble->bde", Xgw, Xg,
-                                     preferred_element_type=sdt)
+                                     preferred_element_type=sdt,
+                                     precision=_exact_prec(gdt))
         if cfg.solver == NNLS:
             y = batched_nnls(lhs, rhs, x_init.astype(sdt),
                              max_iter=cfg.nnls_max_iter)
@@ -337,7 +350,8 @@ def _solve_bucket_explicit(
     lam_use = lam * nnz if cfg.dynamic_lambda else jnp.full_like(nnz, lam)
 
     rhs = jnp.einsum("bld,bl->bd", Xg, conf.astype(gdt),
-                     preferred_element_type=sdt)
+                     preferred_element_type=sdt,
+                     precision=_exact_prec(gdt))
     if hot_W is not None:
         Vh = V_hot.astype(gdt)                         # (H, d)
         Wv = hot_W.astype(gdt)                         # ratings, absent = 0
@@ -371,7 +385,8 @@ def _solve_bucket_explicit(
     else:
         d = Xg.shape[-1]
         Xgm = jnp.where(mask[..., None], Xg, jnp.asarray(0.0, gdt))
-        lhs = jnp.einsum("bld,ble->bde", Xgm, Xgm, preferred_element_type=sdt)
+        lhs = jnp.einsum("bld,ble->bde", Xgm, Xgm, preferred_element_type=sdt,
+                         precision=_exact_prec(gdt))
         lhs = lhs + lam_use[:, None, None] * jnp.eye(d, dtype=sdt)[None]
         # keep padding rows nonsingular (their solutions are discarded)
         invalid = (bucket.nnz == 0) & (lam_use == 0)
@@ -419,8 +434,11 @@ def _sweep_prepare(src, lam, g, cfg: ALSConfig, sdt):
         x_biases = None
 
     if cfg.feedback == "implicit":
+        # one small full-table Gram per sweep: always exact (f32 inputs at
+        # default precision would run as a single bf16 MXU pass)
         XtX = jnp.einsum("nd,ne->de", src_act.astype(sdt),
-                         src_act.astype(sdt), preferred_element_type=sdt)
+                         src_act.astype(sdt), preferred_element_type=sdt,
+                         precision=_exact_prec(sdt))
         XtX = XtX + lam * jnp.eye(d, dtype=sdt)
     else:
         # explicit feedback builds per-entity Grams from the gathered rows

@@ -44,6 +44,16 @@ def batched_spd_solve(lhs: jax.Array, rhs: jax.Array) -> jax.Array:
     return x[..., 0]
 
 
+# All matmuls inside the factorization/substitution run at HIGHEST matmul
+# precision: the TPU default lowers f32 dots to one bf16 MXU pass, which
+# costs ~3.5e-3 relative error on the solution — a silent break of the
+# "exact solver" contract (reference arma::solve is true f32/f64).  The
+# blocked solve is bound by its sequential panel structure, not the MXU,
+# so the multi-pass f32 dots are free (measured: 23.5 vs 23.6 ms at
+# B=8192, d=128 on v5e).
+_HI = lax.Precision.HIGHEST
+
+
 def _chol_panel(A: jax.Array) -> jax.Array:
     """Unblocked Cholesky of a (B, n, n) SPD panel via n masked rank-1
     sweeps (vectorized over the batch; n is small, e.g. 32)."""
@@ -80,7 +90,7 @@ def _trsm_lower(L: jax.Array, Bmat: jax.Array) -> jax.Array:
         lrow = L[:, j, :]                                  # (B, n)
         kmask = (lax.broadcasted_iota(jnp.int32, (n,), 0) < j)
         acc = jnp.einsum("bmn,bn->bm", X,
-                         jnp.where(kmask[None], lrow, 0.0))
+                         jnp.where(kmask[None], lrow, 0.0), precision=_HI)
         ljj = lrow[:, j]
         xj = (Bmat[:, :, j] - acc) / jnp.where(ljj > 0, ljj, 1.0)[:, None]
         return X.at[:, :, j].set(xj)
@@ -102,7 +112,7 @@ def _trsm_lower_t(L: jax.Array, Bmat: jax.Array) -> jax.Array:
         lcol = L[:, :, j]                                  # (B, n)
         kmask = (lax.broadcasted_iota(jnp.int32, (n,), 0) > j)
         acc = jnp.einsum("bmn,bn->bm", X,
-                         jnp.where(kmask[None], lcol, 0.0))
+                         jnp.where(kmask[None], lcol, 0.0), precision=_HI)
         ljj = L[:, j, j]
         xj = (Bmat[:, :, j] - acc) / jnp.where(ljj > 0, ljj, 1.0)[:, None]
         return X.at[:, :, j].set(xj)
@@ -145,7 +155,7 @@ def batched_spd_solve_blocked(lhs: jax.Array, rhs: jax.Array,
             A = A.at[:, s + block:, s:s + block].set(Lb)
             # trailing SPD update: A22 -= Lb @ Lb.T (batched MXU matmul)
             upd = jnp.einsum("bik,bjk->bij", Lb, Lb,
-                             preferred_element_type=dt)
+                             preferred_element_type=dt, precision=_HI)
             A = A.at[:, s + block:, s + block:].add(-upd)
 
     # forward substitution L y = rhs, block by block
@@ -156,7 +166,7 @@ def batched_spd_solve_blocked(lhs: jax.Array, rhs: jax.Array,
         if k > 0:
             acc = acc - jnp.einsum(
                 "bij,bj->bi", A[:, s:s + block, :s], y[:, :s],
-                preferred_element_type=dt)
+                preferred_element_type=dt, precision=_HI)
         yk = _trsm_lower(A[:, s:s + block, s:s + block],
                          acc[:, None, :])[:, 0, :]
         y = y.at[:, s:s + block].set(yk)
@@ -170,7 +180,7 @@ def batched_spd_solve_blocked(lhs: jax.Array, rhs: jax.Array,
             # contribution of already-solved lower blocks through L'
             acc = acc - jnp.einsum(
                 "bji,bj->bi", A[:, s + block:, s:s + block],
-                x[:, s + block:], preferred_element_type=dt)
+                x[:, s + block:], preferred_element_type=dt, precision=_HI)
         # solve L_kk' x_k = acc  (backward substitution; no lax.rev)
         Lkk = A[:, s:s + block, s:s + block]
         xk = _trsm_lower_t(Lkk, acc[:, None, :])[:, 0, :]

@@ -85,3 +85,29 @@ def test_spd_solve_dispatch_consistency():
     b = np.asarray(batched_spd_solve_blocked(jnp.asarray(lhs),
                                              jnp.asarray(rhs)))
     np.testing.assert_allclose(a, b, rtol=1e-9)
+
+
+def test_exact_solvers_pin_matmul_precision():
+    """The exact solve path must pin HIGHEST matmul precision: the TPU
+    default lowers f32 dots to one bf16 MXU pass (~3e-3 relative solution
+    error — measured on v5e), silently breaking the exact-solver contract.
+    CPU runs are exact either way, so this asserts on the jaxpr."""
+    from rsparse_tpu.ops.solvers import batched_spd_solve_blocked
+    import jax
+    lhs = jnp.eye(64)[None].repeat(32, 0)
+    rhs = jnp.ones((32, 64))
+    jaxpr = str(jax.make_jaxpr(batched_spd_solve_blocked)(lhs, rhs))
+    assert "HIGHEST" in jaxpr
+
+    from rsparse_tpu.ops.als import ALSConfig, wrmf_sweep, solver_code
+    from rsparse_tpu.sparse.device import bucket_rows
+    import scipy.sparse as sp
+    rng = np.random.default_rng(0)
+    x = sp.random(64, 32, 0.2, random_state=0, format="csr")
+    br = bucket_rows(x, jnp.float32)
+    U = jnp.asarray(rng.standard_normal((64, 8)), jnp.float32)
+    V = jnp.asarray(rng.standard_normal((32, 8)), jnp.float32)
+    cfg = ALSConfig(feedback="implicit", solver=solver_code("cholesky"))
+    jaxpr = str(jax.make_jaxpr(
+        lambda u, v: wrmf_sweep(u, v, br.buckets, None, 0.1, 0.0, cfg))(U, V))
+    assert "HIGHEST" in jaxpr
