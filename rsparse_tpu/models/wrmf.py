@@ -30,11 +30,16 @@ import scipy.sparse as sp
 
 from ..config import logger, resolve_dtype
 from ..ops.als import (ALSConfig, CHOLESKY, CONJUGATE_GRADIENT, NNLS,
-                       solver_code, wrmf_sweep_streamed)
+                       solver_code, wrmf_sweep, wrmf_sweep_streamed)
 from ..ops.bias_init import initialize_biases
 from ..sparse.device import (BucketedRows, bucket_rows, hot_bucket_rows,
                              split_hot_cold)
 from .base import MatrixFactorizationRecommender, get_names
+
+
+from functools import partial as _partial
+
+_jit_whole_sweep = _partial(jax.jit, static_argnames=("cfg",))(wrmf_sweep)
 
 
 class _FitState:
@@ -201,6 +206,16 @@ class WRMF(MatrixFactorizationRecommender):
             with self.mesh:
                 return wrmf_sweep_streamed(src, tgt, buckets, src_cnt, lam,
                                            g, cfg, hot=hot)
+        # small problems: one jitted program for the WHOLE half-sweep.  The
+        # streamed path dispatches one program per bucket, and per-dispatch
+        # latency (not compute) dominates small fits — the ML-100k quality
+        # gate spends ~95% of its wall time on dispatch round-trips.  Large
+        # problems keep the per-shape streamed programs (compile cost is per
+        # bucket shape there, which matters when remote compiles are slow).
+        if sum(b.batch * b.pad_len for b in buckets) <= (1 << 22):
+            return _jit_whole_sweep(src, tgt, buckets, src_cnt,
+                                    jnp.asarray(lam), jnp.asarray(g), cfg,
+                                    hot, hot_rows)
         return wrmf_sweep_streamed(src, tgt, buckets, src_cnt, lam, g, cfg,
                                    hot=hot, hot_rows=hot_rows)
 
