@@ -290,7 +290,10 @@ def measure_rankmf(csr, rank=128):
     """
     import jax
     from rsparse_tpu.models.rankmf import RankMF
-    m = RankMF(rank=rank, learning_rate=0.05, loss="warp", seed=0,
+    # lr=0.5: the tiny-init + unit-AdaGrad dynamics (reference semantics)
+    # need a large rate to move at all — 0.05 leaves AUC ~0.51 at this
+    # update budget, 0.5 reaches ~0.8+ (tests/test_fm_rankmf.py gate)
+    m = RankMF(rank=rank, learning_rate=0.5, loss="warp", seed=0,
                batch_size=8192, max_negative_samples=20)
     t0 = time.time()
     jax.block_until_ready(m.partial_fit_transform(csr, n_iter=1))
