@@ -111,3 +111,18 @@ def test_exact_solvers_pin_matmul_precision():
     jaxpr = str(jax.make_jaxpr(
         lambda u, v: wrmf_sweep(u, v, br.buckets, None, 0.1, 0.0, cfg))(U, V))
     assert "HIGHEST" in jaxpr
+
+
+def test_blocked_solve_chunked_batch_matches():
+    """Batches beyond the HBM sweet spot are split into independent chunk
+    chains inside one program; results must equal the unchunked math."""
+    from rsparse_tpu.ops import solvers
+    rng = np.random.default_rng(2)
+    B, d = 2 * solvers._SOLVE_CHUNK, 8
+    A = rng.standard_normal((B, d, 4)).astype(np.float32)
+    lhs = np.einsum("bik,bjk->bij", A, A) + np.eye(d, dtype=np.float32)
+    rhs = rng.standard_normal((B, d)).astype(np.float32)
+    x = np.asarray(solvers.batched_spd_solve_blocked(jnp.asarray(lhs),
+                                                     jnp.asarray(rhs)))
+    expect = np.linalg.solve(lhs, rhs[..., None])[..., 0]
+    np.testing.assert_allclose(x, expect, rtol=2e-4, atol=2e-5)
