@@ -25,16 +25,29 @@ SCD_TOL = 1e-4
 NNLS_EPS = 1e-16
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def batched_spd_solve(lhs: jax.Array, rhs: jax.Array) -> jax.Array:
     """Solve ``lhs @ x = rhs`` for a batch of SPD systems.
 
-    lhs: (B, d, d), rhs: (B, d) -> (B, d).  Uses the blocked batched
-    Cholesky for larger batches/dims (XLA's ``lax.linalg.cholesky`` +
-    triangular_solve lower to scalar code on TPU, ~50x off); small problems
-    keep the library path.
+    lhs: (B, d, d), rhs: (B, d) -> (B, d).  On TPU, f32 batches route to the
+    VMEM-resident Pallas kernel (ops/pallas_chol.py) — the XLA blocked solve
+    streams every sequential panel op through HBM and is ~4x slower.
+    Elsewhere (CPU mesh tests, f64) the blocked batched Cholesky runs for
+    larger batches/dims (XLA's ``lax.linalg.cholesky`` + triangular_solve
+    lower to scalar code on TPU, ~50x off); small problems keep the library
+    path.
     """
     B, d = lhs.shape[0], lhs.shape[-1]
     if B * d * d >= 1 << 16 and d >= 16:
+        if _on_tpu() and lhs.dtype == jnp.float32 and d >= 32:
+            from .pallas_chol import pallas_spd_solve
+            return pallas_spd_solve(lhs, rhs)
         return batched_spd_solve_blocked(lhs, rhs)
     chol = lax.linalg.cholesky(lhs)
     y = lax.linalg.triangular_solve(
