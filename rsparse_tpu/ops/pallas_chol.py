@@ -32,18 +32,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# True-f32 MXU passes everywhere: the exact-solver contract (ops/solvers.py
+# _HI) forbids the default single-bf16-pass lowering of f32 dots, and
+# interpret-mode tests cannot see a demotion in the real Mosaic lowering.
+_HI = lax.Precision.HIGHEST
+
+
 def _bmm_nt(a, b):
     """Batched a @ b^T: (B,m,k),(B,n,k) -> (B,m,n) on the MXU."""
     return lax.dot_general(
         a, b, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=_HI)
 
 
 def _bmv(a, v):
     """Batched a @ v: (B,m,k),(B,k) -> (B,m)."""
     return lax.dot_general(
         a, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=_HI)
 
 
 def _bmv_t(a, v):
@@ -141,17 +147,42 @@ def _chol_solve_kernel(lhs_ref, rhs_ref, out_ref, *, bs):
         out_ref[:, k * bs:(k + 1) * bs] = x[k]
 
 
+# Scoped-VMEM footprint of one grid step, measured on v5e: the (bc, D, D)
+# input block (double-buffered) plus the carried lower-triangle block values,
+# panel inverses and temporaries come to ~6.2x the single-buffered input
+# block (observed at D=128: bc=64 -> 21.82M, bc=40 -> 16.21M scoped vs the
+# 16M limit).  Leave headroom below the limit.
+_VMEM_BUDGET = 14 << 20
+_VMEM_OVERHEAD = 6.6
+
+
+def pick_chunk(d: int, bs: int = 32) -> int:
+    """Largest per-grid-step batch chunk (multiple of 8, <= 64) whose scoped
+    VMEM footprint fits; 0 when no chunk >= 8 fits (caller must fall back to
+    the XLA blocked solve)."""
+    D = -(-d // bs) * bs
+    bc = int(_VMEM_BUDGET / (_VMEM_OVERHEAD * D * D * 4))
+    bc = min(64, (bc // 8) * 8)
+    return bc if bc >= 8 else 0
+
+
 @partial(jax.jit, static_argnames=("bs", "bc", "interpret"))
 def pallas_spd_solve(lhs: jax.Array, rhs: jax.Array, bs: int = 32,
-                     bc: int = 64, interpret: bool = False) -> jax.Array:
+                     bc: int = 0, interpret: bool = False) -> jax.Array:
     """Solve a batch of SPD systems ``lhs @ x = rhs`` in VMEM.
 
     lhs: (B, d, d) f32, rhs: (B, d) f32 -> (B, d) f32.  ``d`` is padded to a
     multiple of ``bs`` with an identity diagonal (solution unchanged); the
     batch is padded to a multiple of the per-grid-step chunk ``bc`` with
-    identity systems.
+    identity systems.  ``bc=0`` (default) picks the chunk from the scoped
+    VMEM model (:func:`pick_chunk`) — e.g. 64 at d<=64, 32 at d=128.
     """
     B, d = lhs.shape[0], lhs.shape[-1]
+    if bc == 0:
+        bc = pick_chunk(d, bs)
+        if bc == 0:
+            raise ValueError(
+                f"no VMEM-feasible chunk for d={d}; use the blocked solve")
     lhs = lhs.astype(jnp.float32)
     rhs = rhs.astype(jnp.float32)
     D = -(-d // bs) * bs

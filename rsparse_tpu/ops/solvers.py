@@ -46,8 +46,13 @@ def batched_spd_solve(lhs: jax.Array, rhs: jax.Array) -> jax.Array:
     B, d = lhs.shape[0], lhs.shape[-1]
     if B * d * d >= 1 << 16 and d >= 16:
         if _on_tpu() and lhs.dtype == jnp.float32 and d >= 32:
-            from .pallas_chol import pallas_spd_solve
-            return pallas_spd_solve(lhs, rhs)
+            from .pallas_chol import pallas_spd_solve, pick_chunk
+            # the kernel's scoped-VMEM footprint grows as bc*d^2; route to
+            # it only when a chunk >= 8 fits (d <= ~256 on v5e), else the
+            # XLA blocked solve — a compile-time OOM inside an outer jitted
+            # sweep cannot be caught at runtime
+            if pick_chunk(d) >= 8:
+                return pallas_spd_solve(lhs, rhs)
         return batched_spd_solve_blocked(lhs, rhs)
     chol = lax.linalg.cholesky(lhs)
     y = lax.linalg.triangular_solve(
