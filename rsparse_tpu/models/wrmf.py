@@ -180,7 +180,21 @@ class WRMF(MatrixFactorizationRecommender):
         n = self.mesh.shape.get("data", 1)
         return 8 * n if 8 % n else 8
 
+    @property
+    def _multihost(self) -> bool:
+        from ..parallel.multihost import is_multihost
+        return is_multihost(self.mesh)
+
     def _bucketize(self, csr, include_empty: bool):
+        if self._multihost:
+            # per-process bucket building: this host buckets only its own
+            # contiguous row shard; shapes negotiated via tiny all-gathers
+            from ..parallel.multihost import (distributed_bucket_rows,
+                                              process_row_range)
+            lo, hi = process_row_range(csr.shape[0])
+            return distributed_bucket_rows(
+                sp.csr_matrix(csr)[lo:hi], lo, csr.shape[0], csr.shape[1],
+                self.mesh, self.dtype, include_empty=include_empty)
         br = bucket_rows(csr, self.dtype, include_empty=include_empty,
                          row_align=self._row_align)
         if self.mesh is not None:
@@ -192,6 +206,9 @@ class WRMF(MatrixFactorizationRecommender):
         if self.mesh is None:
             return arr
         from jax.sharding import NamedSharding, PartitionSpec as P
+        if self._multihost:
+            from ..parallel.multihost import replicate
+            return replicate(arr, self.mesh)
         if "model" in self.mesh.axis_names:
             n = self.mesh.shape["model"]
             if arr.shape[0] % n == 0:
@@ -229,7 +246,8 @@ class WRMF(MatrixFactorizationRecommender):
         PERF.md), capped by a 1 GB budget for the dense W block.
         """
         if (self.solver != CONJUGATE_GRADIENT
-                or self.with_user_item_bias or self.use_pallas):
+                or self.with_user_item_bias or self.use_pallas
+                or self._multihost):
             return 0
         n_rows, n_cols = csr.shape
         n = self.n_hot
@@ -379,6 +397,10 @@ class WRMF(MatrixFactorizationRecommender):
         self._cnt_u = jnp.asarray(np.diff(csr.indptr), jnp.float32)
         csc = csr.tocsc()
         self._cnt_i = jnp.asarray(np.diff(csc.indptr), jnp.float32)
+        if self._multihost:
+            from ..parallel.multihost import replicate
+            self._cnt_u = replicate(self._cnt_u, self.mesh)
+            self._cnt_i = replicate(self._cnt_i, self.mesh)
 
         # factor init (R/model_WRMF.R:203-255)
         U = self._rand(n_users)

@@ -1,0 +1,56 @@
+"""Worker process for the multi-host WRMF test (tests/test_multihost.py).
+
+Runs as one of N processes: brings up ``jax.distributed`` over gloo on a
+virtual 2-device CPU backend, fits WRMF on a deterministic synthetic
+problem through the multi-host mesh path, and (process 0) writes the
+results for the parent test to compare against a single-process fit.
+
+Usage: python multihost_worker.py <pid> <nproc> <port> <out.npz>
+"""
+
+import os
+import sys
+
+
+def main():
+    pid, nproc, port, out = (int(sys.argv[1]), int(sys.argv[2]),
+                             sys.argv[3], sys.argv[4])
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=2").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from rsparse_tpu.parallel.multihost import (initialize,
+                                                make_multihost_mesh)
+    initialize(f"127.0.0.1:{port}", nproc, pid)
+    assert jax.process_count() == nproc
+    assert jax.device_count() == 2 * nproc
+
+    import numpy as np
+    import scipy.sparse as sp
+    from rsparse_tpu import WRMF
+
+    rs = np.random.RandomState(0)
+    x = sp.random(96, 80, density=0.3, random_state=rs, format="csr")
+    x.data = 1.0 + 4.0 * x.data
+
+    mesh = make_multihost_mesh()
+    assert mesh.shape == {"dcn": nproc, "ici": 2}
+    m = WRMF(rank=6, lambda_=0.5, feedback="implicit", solver="cholesky",
+             precision="double", seed=0, mesh=mesh)
+    emb = m.fit_transform(x, n_iter=2, convergence_tol=-1)
+
+    # every process holds the same replicated result; process 0 reports
+    if pid == 0:
+        np.savez(out, emb=np.asarray(emb), V=np.asarray(m._V),
+                 loss=np.asarray(m.loss_history))
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()
