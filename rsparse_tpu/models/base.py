@@ -86,6 +86,23 @@ class MatrixFactorizationRecommender:
         # staging cache)
         if isinstance(user_emb, np.ndarray):
             user_emb = np.asarray(user_emb, np.float32)
+        mesh = getattr(self, "mesh", None)
+        if mesh is not None and "data" in getattr(mesh, "axis_names", ()):
+            # mesh-fitted model: item axis sharded over the mesh, packed
+            # bitmasks sharded by item range, O(k) candidate merge
+            # (parallel/topk_sharded.py)
+            import jax
+            if jax.process_count() == 1:
+                from ..parallel.topk_sharded import sharded_top_product
+                idx, scores = sharded_top_product(
+                    mesh, user_emb,
+                    np.asarray(self.components, np.float32), k,
+                    not_recommend=not_recommend, exclude=excl_idx,
+                    glob_mean=self.global_bias)
+                ids = None
+                if self.item_ids is not None:
+                    ids = np.asarray(self.item_ids, object)[idx]
+                return TopK(idx, scores, ids, get_names(x, 0))
         idx, scores = top_product(
             user_emb,
             np.asarray(self.components, np.float32),

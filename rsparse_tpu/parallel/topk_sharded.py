@@ -17,12 +17,87 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import scipy.sparse as sp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rsparse_tpu.ops.topk import (exact_top_k_tournament, masked_top_k_bits,
-                                  _expand_bits)
+                                  pack_mask_bits, _expand_bits)
 
 NEG_INF = float(np.finfo(np.float32).min)
+
+
+def sharded_top_product(
+    mesh: Mesh,
+    x,
+    y,
+    k: int,
+    not_recommend: Optional[sp.spmatrix] = None,
+    exclude: Optional[np.ndarray] = None,
+    glob_mean: float = 0.0,
+    axis: str = "data",
+    user_chunk: int = 4096,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Mesh-path drop-in for ``ops.topk.top_product``.
+
+    Same contract as the single-device retrieval kernel (reference
+    ``top_product`` src/matrix_top_product.cpp:20-102): top-k of
+    ``x @ y + glob_mean`` with per-user ``not_recommend`` and global
+    ``exclude`` masking — but the item axis is sharded over the mesh's
+    ``axis``: item factors live column-sharded, masks travel as packed
+    bitmasks sharded by item range, and only O(k) candidates per user
+    cross the interconnect (:func:`sharded_top_k`).
+
+    Items are padded to a per-shard multiple of 256 (dead mask bits), so
+    the per-shard pass always runs the fused tournament.
+    """
+    n_dev = mesh.shape[axis]
+    x = np.asarray(x, np.float32)     # gathers device shards if needed
+    y = np.asarray(y, np.float32)
+    n_users, n_items = x.shape[0], y.shape[1]
+    if k > n_items:
+        raise ValueError(f"k={k} > n_items={n_items}")
+    if n_users == 0:
+        return (np.empty((0, k), np.int32), np.empty((0, k), np.float32))
+
+    exclude_mask = None
+    if exclude is not None and len(exclude) > 0:
+        exclude = np.asarray(exclude)
+        if exclude.max() >= n_items or exclude.min() < 0:
+            raise ValueError(
+                "items_exclude indices must be in [0, number of items)")
+        exclude_mask = np.zeros((n_items,), bool)
+        exclude_mask[exclude] = True
+
+    nr = None
+    if not_recommend is not None:
+        nr = sp.csr_matrix(not_recommend)
+        if nr.shape != (n_users, n_items):
+            raise ValueError("not_recommend shape mismatch")
+        if nr.nnz == 0:
+            nr = None
+
+    # pad items so every shard is a multiple of 256 (fused tournament) and
+    # padding columns are masked dead
+    n_pad = -(-n_items // (256 * n_dev)) * 256 * n_dev
+    if k > n_pad // n_dev:
+        raise ValueError(f"k={k} > items-per-shard={n_pad // n_dev}")
+    yp = y if n_pad == n_items else np.concatenate(
+        [y, np.zeros((y.shape[0], n_pad - n_items), y.dtype)], axis=1)
+
+    out_i = np.empty((n_users, k), np.int32)
+    out_s = np.empty((n_users, k), np.float32)
+    y_dev = jax.device_put(jnp.asarray(yp),
+                           NamedSharding(mesh, P(None, axis)))
+    for s in range(0, n_users, user_chunk):
+        e = min(s + user_chunk, n_users)
+        bits = pack_mask_bits(n_pad, csr=nr, rows=slice(s, e),
+                              exclude_mask=exclude_mask, n_rows=e - s)
+        si, ii = sharded_top_k(mesh, jnp.asarray(x[s:e]), y_dev, k,
+                               mask_bits=jnp.asarray(bits),
+                               glob_mean=glob_mean, axis=axis)
+        out_s[s:e] = np.asarray(si)
+        out_i[s:e] = np.asarray(ii)
+    return out_i, out_s
 
 
 def sharded_top_k(

@@ -220,3 +220,34 @@ def test_sharded_top_k_packed_bits():
     np.testing.assert_allclose(
         np.asarray(s)[live],
         np.take_along_axis(dense, expect_i, 1)[live], rtol=1e-5)
+
+
+def test_predict_uses_sharded_topk(ml100k_split, monkeypatch):
+    """predict() on a mesh-fitted model must run the item-axis-sharded
+    retrieval path, not the single-device top_product."""
+    from rsparse_tpu import WRMF
+    import rsparse_tpu.ops.topk as topk_mod
+
+    train, cv = ml100k_split
+    mesh = make_mesh((4, 2), ("data", "model"), jax.devices()[:8])
+    kw = dict(rank=6, lambda_=0.5, feedback="implicit", solver="cholesky",
+              precision="double", seed=0)
+    m1 = WRMF(**kw)
+    m1.fit_transform(train, n_iter=2, convergence_tol=-1)
+    p1 = m1.predict(cv, k=5)
+
+    m2 = WRMF(mesh=mesh, **kw)
+    m2.fit_transform(train, n_iter=2, convergence_tol=-1)
+
+    def boom(*a, **kw):
+        raise AssertionError("single-device top_product used on mesh path")
+
+    monkeypatch.setattr(topk_mod, "top_product", boom)
+    p2 = m2.predict(cv, k=5)
+    np.testing.assert_array_equal(p1.indices, p2.indices)
+    np.testing.assert_allclose(p1.scores, p2.scores, rtol=1e-5, atol=1e-6)
+
+    # exclusion semantics survive the sharded path
+    excl = [0, 5, 17]
+    p3 = m2.predict(cv, k=5, items_exclude=excl)
+    assert not np.isin(p3.indices, excl).any()
