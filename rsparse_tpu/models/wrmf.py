@@ -90,6 +90,7 @@ class WRMF(MatrixFactorizationRecommender):
         use_pallas: bool = False,
         n_hot="auto",
         hot_dtype: str = "auto",
+        routing: Optional[str] = None,
     ):
         super().__init__()
         if feedback not in ("implicit", "explicit"):
@@ -138,6 +139,20 @@ class WRMF(MatrixFactorizationRecommender):
         #: a per-row scale (implicit feedback only; halves the W-block HBM
         #: footprint; error < scale per confidence, <= scale/2 for values
         #: within 510x of the row max — see HotBlock docs)
+        #: "alx": route only the referenced source-factor rows to each
+        #: device via a static all-to-all plan instead of the implicit
+        #: all-gather (parallel/alx.py; PAPERS.md ALX).  Requires a mesh
+        #: with a "data" axis and no per-entity biases.
+        if routing not in (None, "alx"):
+            raise ValueError(f"unknown routing {routing!r}")
+        if routing == "alx":
+            if mesh is None or "data" not in mesh.axis_names:
+                raise ValueError("routing='alx' requires a mesh with a "
+                                 "'data' axis")
+            if with_user_item_bias:
+                raise ValueError("routing='alx' does not support "
+                                 "per-entity biases")
+        self.routing = routing
         if hot_dtype not in ("auto", "uint8", "bfloat16", "float32"):
             raise ValueError(f"unknown hot_dtype {hot_dtype!r}")
         if hot_dtype == "uint8" and feedback != "implicit":
@@ -185,7 +200,15 @@ class WRMF(MatrixFactorizationRecommender):
         from ..parallel.multihost import is_multihost
         return is_multihost(self.mesh)
 
-    def _bucketize(self, csr, include_empty: bool):
+    def _bucketize(self, csr, include_empty: bool, n_src: Optional[int] = None):
+        if self.routing == "alx":
+            # host-built buckets -> static routing plan + cache-remapped
+            # sharded buckets (parallel/alx.py); n_src = source-table rows
+            from ..parallel.alx import stage_alx
+            br = bucket_rows(csr, self.dtype, include_empty=include_empty,
+                             row_align=self._row_align)
+            return stage_alx(br, n_src if n_src is not None
+                             else csr.shape[1], self.mesh)
         if self._multihost:
             # per-process bucket building: this host buckets only its own
             # contiguous row shard; shapes negotiated via tiny all-gathers
@@ -217,8 +240,14 @@ class WRMF(MatrixFactorizationRecommender):
         return jax.device_put(
             arr, NamedSharding(self.mesh, P()))
 
-    def _sweep(self, src, tgt, buckets, src_cnt, lam, g, cfg, hot=None,
+    def _sweep(self, src, tgt, container, src_cnt, lam, g, cfg, hot=None,
                hot_rows=None):
+        from ..parallel.alx import ALXStage
+        if isinstance(container, ALXStage):
+            from ..parallel.alx import alx_sweep
+            return alx_sweep(self.mesh, src, tgt, container, src_cnt, lam,
+                             g, cfg)
+        buckets = container.buckets
         if self.mesh is not None:
             with self.mesh:
                 return wrmf_sweep_streamed(src, tgt, buckets, src_cnt, lam,
@@ -247,7 +276,7 @@ class WRMF(MatrixFactorizationRecommender):
         """
         if (self.solver != CONJUGATE_GRADIENT
                 or self.with_user_item_bias or self.use_pallas
-                or self._multihost):
+                or self._multihost or self.routing is not None):
             return 0
         n_rows, n_cols = csr.shape
         n = self.n_hot
@@ -450,14 +479,14 @@ class WRMF(MatrixFactorizationRecommender):
                             checkpoint_path, start_iter)
         for it in range(start_iter, n_iter):
             with self.fit_trace.phase(it + 1, "items") as rec:
-                V, loss = self._sweep(U, V, iu.buckets, self._cnt_u,
+                V, loss = self._sweep(U, V, iu, self._cnt_u,
                                       lam, g, cfg_items, hot_iu,
                                       iu_hot_rows)
                 loss = float(loss) / nnz
                 rec["loss"] = loss
             logger.info("iter %d (items) loss = %.4f", it + 1, loss)
             with self.fit_trace.phase(it + 1, "users") as rec:
-                U, loss = self._sweep(V, U, ui.buckets, self._cnt_i,
+                U, loss = self._sweep(V, U, ui, self._cnt_i,
                                       lam, g, cfg_users, hot_ui,
                                       ui_hot_rows)
                 loss = float(loss) / nnz
@@ -490,7 +519,7 @@ class WRMF(MatrixFactorizationRecommender):
         tgt0 = self._place_factors(
             jnp.zeros((n_users, self._R), dtype=self.dtype))
         g = self.global_bias if self.feedback == "implicit" else 0.0
-        U, _ = self._sweep(self._V, tgt0, ui.buckets, self._cnt_i,
+        U, _ = self._sweep(self._V, tgt0, ui, self._cnt_i,
                            self.lambda_, g, cfg)
         return U
 

@@ -251,3 +251,40 @@ def test_predict_uses_sharded_topk(ml100k_split, monkeypatch):
     excl = [0, 5, 17]
     p3 = m2.predict(cv, k=5, items_exclude=excl)
     assert not np.isin(p3.indices, excl).any()
+
+
+def test_alx_sweep_matches_unrouted():
+    """The routed (all-to-all factor exchange) sweep must equal the plain
+    wrmf_sweep on the same buckets, for CG and Cholesky."""
+    from rsparse_tpu.parallel.alx import alx_sweep, stage_alx
+
+    x, U, V, iu, ui = _problem(row_align=8)
+    mesh = make_mesh((8,), ("data",), jax.devices()[:8])
+    st_iu = stage_alx(iu, U.shape[0], mesh)
+    for solver in (CONJUGATE_GRADIENT, CHOLESKY):
+        cfg = ALSConfig(feedback="implicit", solver=solver)
+        V1, loss1 = wrmf_sweep(U, V, iu.buckets, None, 0.1, 0.0, cfg)
+        V2, loss2 = alx_sweep(mesh, U, V, st_iu, None, 0.1, 0.0, cfg)
+        np.testing.assert_allclose(np.asarray(V1), np.asarray(V2),
+                                   rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+
+
+def test_wrmf_model_routing_alx(ml100k_split):
+    """WRMF(mesh=..., routing='alx') end-to-end equals the single-device
+    model (fit + loss history + transform consistency)."""
+    from rsparse_tpu import WRMF
+    train, cv = ml100k_split
+    mesh = make_mesh((8,), ("data",), jax.devices()[:8])
+    kw = dict(rank=6, lambda_=0.5, feedback="implicit", seed=0,
+              solver="conjugate_gradient", precision="double", n_hot=0)
+    m1 = WRMF(**kw)
+    e1 = m1.fit_transform(train, n_iter=2, convergence_tol=-1)
+    m2 = WRMF(mesh=mesh, routing="alx", **kw)
+    e2 = m2.fit_transform(train, n_iter=2, convergence_tol=-1)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2),
+                               rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(m1.loss_history, m2.loss_history, rtol=1e-8)
+    t2 = m2.transform(train)
+    np.testing.assert_allclose(np.asarray(e2), np.asarray(t2),
+                               rtol=1e-9, atol=1e-12)
