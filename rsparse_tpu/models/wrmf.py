@@ -274,9 +274,13 @@ class WRMF(MatrixFactorizationRecommender):
         traffic, a hot column ~12 B per target row per sweep — see
         PERF.md), capped by a 1 GB budget for the dense W block.
         """
-        if (self.solver != CONJUGATE_GRADIENT
-                or self.with_user_item_bias or self.use_pallas
+        if (self.with_user_item_bias or self.use_pallas
                 or self._multihost or self.routing is not None):
+            return 0
+        if self.solver != CONJUGATE_GRADIENT and self.n_hot == "auto":
+            # exact solvers pay B*H*d^2 for the dense-head lhs term
+            # (ops/als.py _hot_lhs) regardless of head density — not
+            # profitable at auto-sized heads; explicit n_hot is honored
             return 0
         n_rows, n_cols = csr.shape
         n = self.n_hot

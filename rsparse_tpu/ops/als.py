@@ -121,6 +121,19 @@ def _active_slices(cfg: ALSConfig, R: int):
     return slice(1, R), slice(1, R)
 
 
+def _hot_lhs(w: jax.Array, Vh: jax.Array, sdt) -> jax.Array:
+    """Dense-head per-entity normal-matrix term
+    ``lhs_hot[b] = sum_h w[b,h] * Vh[h] Vh[h]'`` as a single MXU matmul
+    against the (H, d*d) outer-product table.  w: (B, H); Vh: (H, d)."""
+    H, d = Vh.shape
+    Vs = Vh.astype(sdt)
+    outer = (Vs[:, :, None] * Vs[:, None, :]).reshape(H, d * d)
+    flat = jnp.einsum("bh,hx->bx", w.astype(sdt), outer,
+                      preferred_element_type=sdt,
+                      precision=_exact_prec(sdt))
+    return flat.reshape(w.shape[0], d, d)
+
+
 def _solve_bucket_implicit(
     src_act: jax.Array,            # (n_src, d)
     x_biases: Optional[jax.Array],  # (n_src,) or None
@@ -266,6 +279,16 @@ def _solve_bucket_implicit(
         lhs = XtX[None] + jnp.einsum("bld,ble->bde", Xgw, Xg,
                                      preferred_element_type=sdt,
                                      precision=_exact_prec(gdt))
+        if hot_W is not None:
+            # dense-head lhs term: sum_h W1[b,h] v_h v_h' — one
+            # (B,H)x(H,d^2) MXU matmul against the precomputed outer
+            # products (same partition-by-column-set algebra as the CG
+            # matvec, materialized; reference lhs build
+            # inst/include/wrmf_implicit.hpp:206-237).  NOTE: costs
+            # B*H*d^2 FLOPs regardless of head density — profitable only
+            # for narrow heads, which is why n_hot="auto" keeps exact
+            # solvers at 0 and explicit head sizes are honored as-is.
+            lhs = lhs + _hot_lhs(W1, Vh, sdt)
         if cfg.solver == NNLS:
             y = batched_nnls(lhs, rhs, x_init.astype(sdt),
                              max_iter=cfg.nnls_max_iter)
@@ -387,6 +410,9 @@ def _solve_bucket_explicit(
         Xgm = jnp.where(mask[..., None], Xg, jnp.asarray(0.0, gdt))
         lhs = jnp.einsum("bld,ble->bde", Xgm, Xgm, preferred_element_type=sdt,
                          precision=_exact_prec(gdt))
+        if hot_W is not None:
+            # observed head cells contribute v v' with unit weight
+            lhs = lhs + _hot_lhs(Mh.astype(sdt), Vh, sdt)
         lhs = lhs + lam_use[:, None, None] * jnp.eye(d, dtype=sdt)[None]
         # keep padding rows nonsingular (their solutions are discarded)
         invalid = (bucket.nnz == 0) & (lam_use == 0)
@@ -412,13 +438,15 @@ def _solve_bucket_explicit(
 def _check_hot_supported(hot, cfg: ALSConfig):
     if hot is None:
         return
-    if cfg.with_biases or cfg.solver != CONJUGATE_GRADIENT:
+    if cfg.with_biases:
         raise NotImplementedError(
-            "hot/cold split currently supports the conjugate-gradient "
-            "solver and no per-entity biases")
-    # explicit feedback: presence bits exist only when the hot block holds
-    # explicitly-stored zero ratings (split_hot_cold(with_presence=True));
-    # otherwise ``W != 0`` is an exact presence indicator
+            "hot/cold split does not support per-entity biases")
+    # all three solvers are supported: CG folds the head terms into the
+    # matvec; Cholesky/NNLS add the dense-head normal-matrix term
+    # (_hot_lhs).  Explicit feedback: presence bits exist only when the hot
+    # block holds explicitly-stored zero ratings
+    # (split_hot_cold(with_presence=True)); otherwise ``W != 0`` is an
+    # exact presence indicator
 
 
 def _sweep_prepare(src, lam, g, cfg: ALSConfig, sdt):

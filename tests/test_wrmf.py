@@ -345,3 +345,37 @@ def test_wrmf_explicit_hot_cold_bf16_close():
     # same algorithm at reduced precision: correlation, not equality
     denom = np.linalg.norm(e0) + 1e-30
     assert np.linalg.norm(e1 - e0) / denom < 0.05
+
+
+def test_wrmf_exact_solver_hot_cold_split_parity():
+    """Cholesky and NNLS with a dense zipf-head: the head's normal-matrix
+    term (ops/als.py _hot_lhs) must reproduce the pure-bucketed exact
+    solve (reference lhs build inst/include/wrmf_implicit.hpp:206-237)."""
+    rng = np.random.default_rng(7)
+    m = sp.random(250, 160, 0.08, random_state=7, format="csr")
+    m.data = 1.0 + rng.exponential(2.0, m.nnz)
+    for solver in ("cholesky", "nnls"):
+        kw = dict(rank=8, lambda_=0.5, feedback="implicit", solver=solver,
+                  seed=0, precision="double")
+        e0 = np.asarray(WRMF(n_hot=0, **kw)
+                        .fit_transform(m, n_iter=2, convergence_tol=-1))
+        e1 = np.asarray(WRMF(n_hot=48, **kw)
+                        .fit_transform(m, n_iter=2, convergence_tol=-1))
+        if solver == "nnls":
+            # SCD stops at rel-tol 1e-4 (reference nnls.hpp SCD_TOL), so
+            # summation-order differences legitimately move the stopping
+            # point; assert to that tolerance scale + non-negativity
+            assert (e1 >= 0).all()
+            np.testing.assert_allclose(e1, e0, rtol=0.05, atol=0.02)
+        else:
+            np.testing.assert_allclose(e1, e0, rtol=1e-8, atol=1e-10)
+    # explicit feedback + cholesky + dynamic lambda through the same term
+    me = sp.random(120, 80, 0.2, random_state=8, format="csr")
+    me.data = np.round(1.0 + 4.0 * me.data, 2)
+    kw = dict(rank=6, lambda_=0.3, feedback="explicit", solver="cholesky",
+              dynamic_lambda=True, seed=0, precision="double")
+    e0 = np.asarray(WRMF(n_hot=0, **kw)
+                    .fit_transform(me, n_iter=2, convergence_tol=-1))
+    e1 = np.asarray(WRMF(n_hot=16, **kw)
+                    .fit_transform(me, n_iter=2, convergence_tol=-1))
+    np.testing.assert_allclose(e1, e0, rtol=1e-8, atol=1e-10)
