@@ -354,9 +354,63 @@ def measure_quality_ml100k():
         f"NDCG@10={ndcg:.4f} MAP@10={mapk:.4f}")
 
 
-def cpu_baseline_subprocess():
-    """Measure CPU user-updates/s in a fresh process (jax.config platform
-    switch — env vars are overridden by the image's sitecustomize)."""
+def measure_fit_e2e(csr, rank):
+    """End-to-end ``WRMF.fit_transform`` at rank 128 on the device —
+    exercises the full staging + training + mandatory closing Cholesky
+    half-sweep (models/wrmf.py _transform_buckets), i.e. exactly the path
+    the round-2 Pallas VMEM regression broke on real TPU."""
+    from rsparse_tpu import WRMF
+
+    n_users = csr.shape[0]
+    m = WRMF(rank=rank, lambda_=LAM, feedback="implicit",
+             solver="conjugate_gradient", seed=0,
+             compute_dtype="bfloat16")
+    t0 = time.time()
+    emb = m.fit_transform(csr, n_iter=2, convergence_tol=-1)
+    dt = time.time() - t0
+    assert emb.shape == (n_users, rank)
+    assert np.isfinite(m.loss_history).all()
+    log(f"fit_transform e2e (rank {rank}, {n_users} users, 2 iters + "
+        f"exact transform): {dt:.1f}s, loss {m.loss_history[-1]:.4f}")
+    return dt
+
+
+def measure_sharded_predict(csr, rank, k=10):
+    """Mesh-path retrieval: predict() through sharded_top_product on a
+    1-chip data mesh (the same program a pod would run per shard)."""
+    import jax
+    import jax.numpy as jnp
+    from rsparse_tpu.parallel.mesh import make_mesh
+    from rsparse_tpu.parallel.topk_sharded import sharded_top_product
+
+    n_users, n_items = 8192, csr.shape[1]
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((n_users, rank)).astype(np.float32)
+    y = rng.standard_normal((rank, n_items)).astype(np.float32)
+    mesh = make_mesh((jax.device_count(),), ("data",))
+    t0 = time.time()
+    idx, scores = sharded_top_product(mesh, x, y, k,
+                                      not_recommend=csr[:n_users])
+    dt = time.time() - t0
+    rate = n_users * n_items / dt
+    log(f"sharded predict ({jax.device_count()} dev): {dt*1e3:.0f} ms "
+        f"-> {rate/1e9:.2f} G item-scores/s (k={k}, masked, incl. staging)")
+    return idx
+
+
+_BASELINE_STORE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE_CPU.json")
+
+
+def cpu_baseline_subprocess(n_runs: int = 3):
+    """Measure CPU user-updates/s in fresh subprocesses (jax.config platform
+    switch — env vars are overridden by the image's sitecustomize).
+
+    Runs ``n_runs`` times and keeps the MAX (most favorable to the CPU):
+    the container shares the box, and single-run numbers swung 2.6x
+    between rounds (r01: 8,234 vs r02: 3,131 on identical code).  The best
+    observed baseline is persisted to BASELINE_CPU.json so the speedup
+    denominator can only tighten, never flatter, across rounds."""
     code = (
         "import sys; sys.path.insert(0, %r)\n"
         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
@@ -366,16 +420,42 @@ def cpu_baseline_subprocess():
         "compute_dtype='float32')\n"
         "print('CPU_UPS', ups)\n" % os.path.dirname(os.path.abspath(__file__))
     )
+    runs = []
+    for i in range(n_runs):
+        try:
+            out = subprocess.run([sys.executable, "-c", code],
+                                 capture_output=True, text=True, timeout=1800)
+            for line in out.stdout.splitlines():
+                if line.startswith("CPU_UPS"):
+                    runs.append(float(line.split()[1]))
+                    break
+            else:
+                log(f"cpu baseline run {i}: no output;",
+                    out.stderr[-1000:])
+        except Exception as e:  # noqa: BLE001
+            log(f"cpu baseline run {i} error:", e)
+    if not runs:
+        return None
+    best = max(runs)
+    log(f"cpu baseline runs: {[f'{r:,.0f}' for r in runs]} -> max {best:,.0f}")
     try:
-        out = subprocess.run([sys.executable, "-c", code],
-                             capture_output=True, text=True, timeout=1800)
-        for line in out.stdout.splitlines():
-            if line.startswith("CPU_UPS"):
-                return float(line.split()[1])
-        log("cpu baseline failed:", out.stderr[-2000:])
+        stored = {}
+        if os.path.exists(_BASELINE_STORE):
+            with open(_BASELINE_STORE) as f:
+                stored = json.load(f)
+        if best > stored.get("cpu_updates_per_s", 0):
+            stored = {"cpu_updates_per_s": best, "runs": runs,
+                      "cores": os.cpu_count()}
+            with open(_BASELINE_STORE, "w") as f:
+                json.dump(stored, f)
+        else:
+            log(f"using stored best-known baseline "
+                f"{stored['cpu_updates_per_s']:,.0f} "
+                f"(this round's max {best:,.0f})")
+        best = stored["cpu_updates_per_s"]
     except Exception as e:  # noqa: BLE001
-        log("cpu baseline error:", e)
-    return None
+        log("baseline store error:", e)
+    return best
 
 
 def main():
@@ -391,7 +471,13 @@ def main():
         # driver config #2's solver axis: exact Cholesky vs CG at rank 128
         ("cholesky_sweep", lambda: None if quick else measure_sweep(
             csr, RANK, 3, solver="cholesky")),
+        # full model path incl. the closing exact transform half-sweep
+        ("fit_e2e", lambda: measure_fit_e2e(
+            sp.csr_matrix(csr[:8192]) if quick else
+            sp.csr_matrix(csr[:16384]), RANK)),
         ("topk", lambda: measure_topk(sp.csr_matrix(csr[:8192]), RANK)),
+        ("sharded_predict", lambda: None if quick else
+            measure_sharded_predict(csr, RANK)),
         ("glove", lambda: None if quick else measure_glove()),
         ("soft_impute", lambda: None if quick else measure_soft_impute(
             sp.csr_matrix(csr[:16384]))),

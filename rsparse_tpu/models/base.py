@@ -68,6 +68,12 @@ class MatrixFactorizationRecommender:
 
         if isinstance(not_recommend, str) and not_recommend == "x":
             not_recommend = x
+        from ..sparse.splr import SparsePlusLowRank
+        if isinstance(not_recommend, SparsePlusLowRank):
+            # mask the OBSERVED interactions of a sparse-plus-low-rank
+            # input: its sparse part (the low-rank term is a dense offset,
+            # not an interaction record)
+            not_recommend = not_recommend.x
         items_exclude = list(dict.fromkeys(items_exclude))
         excl_idx = None
         if items_exclude:
@@ -116,9 +122,19 @@ class MatrixFactorizationRecommender:
             ids = np.asarray(self.item_ids, object)[idx]
         return TopK(idx, scores, ids, get_names(x, 0))
 
-    def get_similar_items(self, item_id, k: Optional[int] = None) -> TopK:
+    # below this, a host dot+argsort beats the device dispatch round-trip
+    _SIMILAR_DEVICE_MIN_ELEMS = 1 << 22
+
+    def get_similar_items(self, item_id, k: Optional[int] = None,
+                          device: Optional[bool] = None) -> TopK:
         """Cosine-similar items to ``item_id``
-        (reference R/MatrixFactorizationRecommender.R:79-107)."""
+        (reference R/MatrixFactorizationRecommender.R:79-107).
+
+        Large item catalogs ride the device ``top_product`` kernel against
+        the L2-normalized components (the normalized table is staged once
+        through its content-addressed cache); small ones use a host dot.
+        ``device``: force the path (None = pick by catalog size).
+        """
         comps = np.asarray(self.components, np.float32)
         n_items = comps.shape[1]
         if k is None:
@@ -134,12 +150,22 @@ class MatrixFactorizationRecommender:
         if self._components_l2 is None:
             norms = np.sqrt((comps ** 2).sum(axis=0))
             self._components_l2 = comps / np.maximum(norms, 1e-12)
-        q = self._components_l2[:, i]
-        scores = q @ self._components_l2
-        scores[i] = -np.inf  # remove similarity with itself
-        order = np.argsort(-scores)[:k]
+        if device is None:
+            device = comps.size >= self._SIMILAR_DEVICE_MIN_ELEMS
+        if device:
+            from ..ops.topk import top_product
+            idx, scores = top_product(
+                self._components_l2[:, i][None, :], self._components_l2,
+                min(k, n_items - 1), exclude=np.asarray([i], np.int64))
+            order, scr = idx[0], scores[0]
+        else:
+            q = self._components_l2[:, i]
+            scores = q @ self._components_l2
+            scores[i] = -np.inf  # remove similarity with itself
+            order = np.argsort(-scores)[:k]
+            scr = scores[order]
         ids = None
         if self.item_ids is not None:
             ids = np.asarray(self.item_ids, object)[order][None, :]
         return TopK(order[None, :].astype(np.int32),
-                    scores[order][None, :].astype(np.float32), ids, None)
+                    scr[None, :].astype(np.float32), ids, None)

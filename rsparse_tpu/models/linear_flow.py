@@ -65,6 +65,24 @@ class LinearFlow(MatrixFactorizationRecommender):
 
     # -- internals ---------------------------------------------------------
 
+    def _get_v_splr(self, x, n_iter: int = 30) -> jax.Array:
+        """Right singular vectors of a SparsePlusLowRank input by subspace
+        iteration on its lazy matmuls (the reference accepts splr for x,
+        R/model_LinearFlow.R:55, via softImpute's splr methods — here the
+        rank is small, so orthogonalized power iteration on ``x'x`` is
+        exact enough and never materializes the dense sum)."""
+        rng = np.random.default_rng(self.seed)
+        r = min(self.rank + 4, min(x.shape))
+        Q = np.linalg.qr(rng.standard_normal((x.shape[1], r)))[0]
+        for _ in range(max(n_iter, 8)):
+            Q = np.linalg.qr(x.crossprod(x @ Q))[0]
+        B = x @ Q                                    # (n_rows, r)
+        _, s, wt = np.linalg.svd(B, full_matrices=False)
+        v = (Q @ wt.T)[:, :self.rank]
+        if v.shape[1] < self.rank:
+            v = np.pad(v, ((0, 0), (0, self.rank - v.shape[1])))
+        return jnp.asarray(v, self.dtype)
+
     def _get_v(self, x: sp.spmatrix, n_iter: int = 30) -> jax.Array:
         if self.v is not None:
             v = jnp.asarray(self.v, self.dtype)
@@ -93,7 +111,22 @@ class LinearFlow(MatrixFactorizationRecommender):
 
     # -- public API --------------------------------------------------------
 
-    def fit_transform(self, x: sp.spmatrix, n_iter: int = 30):
+    def fit_transform(self, x, n_iter: int = 30):
+        """``x``: scipy sparse matrix or :class:`SparsePlusLowRank`
+        (``x + a b'`` accepted lazily, matching the reference's splr input
+        contract R/model_LinearFlow.R:55)."""
+        from ..sparse.splr import SparsePlusLowRank
+        if isinstance(x, SparsePlusLowRank):
+            if self.v is None:
+                self.v = self._get_v_splr(x, n_iter)
+            v_np = np.asarray(self.v, np.float64)
+            xv = x @ v_np                                # (n_u, r)
+            rhs = jnp.asarray(x.crossprod(xv).T, self.dtype)   # (r, n_i)
+            lhs = rhs @ jnp.asarray(v_np, self.dtype)
+            self.components = np.asarray(
+                _solve_ridge(lhs, rhs, self.lambda_))
+            self._components_l2 = None
+            return jnp.asarray(xv, self.dtype)
         self.item_ids = get_names(x, 1)
         self.user_ids = get_names(x, 0)
         csr = sp.csr_matrix(x).astype(np.float64)
@@ -104,9 +137,13 @@ class LinearFlow(MatrixFactorizationRecommender):
         self._components_l2 = None
         return xv
 
-    def transform(self, x: sp.spmatrix):
+    def transform(self, x):
         if self.v is None:
             raise RuntimeError("model is not fitted")
+        from ..sparse.splr import SparsePlusLowRank
+        if isinstance(x, SparsePlusLowRank):
+            return jnp.asarray(x @ np.asarray(self.v, np.float64),
+                               self.dtype)
         csr = sp.csr_matrix(x).astype(np.float64)
         csr = self.preprocess(csr)
         xb = bucket_rows(csr, self.dtype)

@@ -178,3 +178,36 @@ def test_splr_ops():
     np.testing.assert_allclose(m.T.toarray(), dense.T, rtol=1e-10)
     with pytest.raises(ValueError):
         SparsePlusLowRank(x, a[:5], b)
+
+
+def test_linear_flow_accepts_splr():
+    """LinearFlow must consume a SparsePlusLowRank input lazily (reference
+    R/model_LinearFlow.R:55 accepts splr) and produce the same model as the
+    materialized dense-equivalent sparse matrix."""
+    import scipy.sparse as sp
+    from rsparse_tpu.models.linear_flow import LinearFlow
+
+    rng = np.random.default_rng(0)
+    x = sp.random(60, 40, density=0.2, random_state=1, format="csr")
+    a = rng.standard_normal((60, 3)) * 0.1
+    b = rng.standard_normal((40, 3)) * 0.1
+    m = SparsePlusLowRank(x, a, b)
+    dense_eq = sp.csr_matrix(m.toarray())
+
+    # same init v for both so only the lhs/rhs path differs
+    v0 = np.linalg.qr(rng.standard_normal((40, 6)))[0]
+    lf1 = LinearFlow(rank=6, lambda_=0.5, init=v0, precision="double")
+    e1 = np.asarray(lf1.fit_transform(dense_eq))
+    lf2 = LinearFlow(rank=6, lambda_=0.5, init=v0, precision="double")
+    e2 = np.asarray(lf2.fit_transform(m))
+    np.testing.assert_allclose(e2, e1, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(lf2.components, lf1.components,
+                               rtol=1e-8, atol=1e-10)
+    t2 = np.asarray(lf2.transform(m))
+    np.testing.assert_allclose(t2, e2, rtol=1e-10)
+
+    # splr with no init: subspace-iteration v, model still sane + predict
+    lf3 = LinearFlow(rank=6, lambda_=0.5, precision="double", seed=0)
+    lf3.fit_transform(m)
+    p = lf3.predict(m, k=5)
+    assert p.indices.shape == (60, 5)

@@ -261,3 +261,21 @@ def test_top_product_fewer_live_than_k_distinct_indices():
     live_order = np.argsort(-dense[0])[:3]
     np.testing.assert_array_equal(idx[0, :3], live_order)
     assert (scores[0, 3:] == NEG_INF).all()
+
+
+def test_get_similar_items_device_path_oracle():
+    """Device-path get_similar_items (top_product on normalized
+    components) must agree with the host argsort oracle at 32k items."""
+    from rsparse_tpu.models.base import MatrixFactorizationRecommender
+
+    rng = np.random.default_rng(0)
+    n_items, R = 32768, 16
+    m = MatrixFactorizationRecommender()
+    m.components = rng.standard_normal((R, n_items)).astype(np.float32)
+    for item in (0, 12345):
+        got = m.get_similar_items(item, k=10, device=True)
+        ref = m.get_similar_items(item, k=10, device=False)
+        np.testing.assert_array_equal(got.indices, ref.indices)
+        np.testing.assert_allclose(got.scores, ref.scores, rtol=1e-5,
+                                   atol=1e-6)
+        assert item not in got.indices
