@@ -251,7 +251,8 @@ class WRMF(MatrixFactorizationRecommender):
         if self.mesh is not None:
             with self.mesh:
                 return wrmf_sweep_streamed(src, tgt, buckets, src_cnt, lam,
-                                           g, cfg, hot=hot)
+                                           g, cfg, hot=hot,
+                                           hot_rows=hot_rows)
         # small problems: one jitted program for the WHOLE half-sweep.  The
         # streamed path dispatches one program per bucket, and per-dispatch
         # latency (not compute) dominates small fits — the ML-100k quality
@@ -414,14 +415,16 @@ class WRMF(MatrixFactorizationRecommender):
         # pre-gather the hot rows into bucket order once: bucket order is
         # fixed for the whole fit, and the per-sweep W[ids] random gather
         # costs ~15% of the bench sweep (sparse/device.py hot_bucket_rows)
+        # (works under a mesh too: W is "model"-col-sharded, bucket row ids
+        # "data"-sharded, so the staged rows come out (data, model)-sharded
+        # and the per-sweep W[ids] random gather disappears on both paths)
         iu_hot_rows = ui_hot_rows = None
-        if self.mesh is None:
-            if hot_iu is not None:
-                iu_hot_rows = hot_bucket_rows(hot_iu, iu.buckets, n_items)
-                hot_iu = hot_iu._replace(W=hot_iu.W[:1])   # free the big W
-            if hot_ui is not None:
-                ui_hot_rows = hot_bucket_rows(hot_ui, ui.buckets, n_users)
-                hot_ui = hot_ui._replace(W=hot_ui.W[:1])
+        if hot_iu is not None:
+            iu_hot_rows = hot_bucket_rows(hot_iu, iu.buckets, n_items)
+            hot_iu = hot_iu._replace(W=hot_iu.W[:1])       # free the big W
+        if hot_ui is not None:
+            ui_hot_rows = hot_bucket_rows(hot_ui, ui.buckets, n_users)
+            hot_ui = hot_ui._replace(W=hot_ui.W[:1])
         ui_full = self._bucketize(csr, incl)
         if ui is None:
             ui = ui_full
