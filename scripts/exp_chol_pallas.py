@@ -3,16 +3,22 @@ XLA blocked solve (23.5 ms per 8192 @ d=128 baseline).
 
 Usage: python scripts/exp_chol_pallas.py [bc ...]
 """
+import os
 import sys
 import time
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+_cache = os.environ.get(
+    "RSPARSE_JAX_CACHE",
+    str(Path(__file__).resolve().parents[1] / ".jax_cache"))
+if _cache:
+    jax.config.update("jax_compilation_cache_dir", _cache)
 
 from rsparse_tpu.ops.pallas_chol import pallas_spd_solve  # noqa: E402
 from rsparse_tpu.ops.solvers import batched_spd_solve_blocked  # noqa: E402
