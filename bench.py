@@ -65,7 +65,7 @@ def synth_ml20m_like(n_users=N_USERS, n_items=N_ITEMS, mean_nnz=MEAN_NNZ,
 
 
 def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
-                  solver="conjugate_gradient", use_pallas=False,
+                  solver="conjugate_gradient",
                   max_buckets=24, n_hot=0, feedback="implicit",
                   hot_dtype=None):
     """Sustained user-updates/s: ``reps`` chained warm sweeps, one final
@@ -112,7 +112,7 @@ def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
     U = jnp.asarray(rng.standard_normal((n_users, rank)) * 0.01, jnp.float32)
     V = jnp.asarray(rng.standard_normal((n_items, rank)) * 0.01, jnp.float32)
     cfg = ALSConfig(feedback=feedback, solver=solver_code(solver),
-                    compute_dtype=compute_dtype, use_pallas=use_pallas)
+                    compute_dtype=compute_dtype)
     # bucket order is fixed: pre-gather the hot rows once (the per-sweep
     # W[ids] random gather costs ~15% of the sweep, PERF.md)
     hot_rows = hot_bucket_rows(hot, ui.buckets, n_users)

@@ -87,7 +87,6 @@ class WRMF(MatrixFactorizationRecommender):
         seed: Optional[int] = None,
         mesh=None,
         compute_dtype: str = "float32",
-        use_pallas: bool = False,
         n_hot="auto",
         hot_dtype: str = "auto",
         routing: Optional[str] = None,
@@ -127,7 +126,6 @@ class WRMF(MatrixFactorizationRecommender):
         #: buckets shard over "data", factor tables over "model"
         self.mesh = mesh
         self.compute_dtype = compute_dtype
-        self.use_pallas = bool(use_pallas)
         #: dense zipf-head split (sparse/device.py HotBlock): the hottest
         #: columns of each sweep orientation are handled as a dense MXU
         #: block with zero per-nnz gathers.  ``0`` disables, an int fixes
@@ -182,7 +180,6 @@ class WRMF(MatrixFactorizationRecommender):
             dynamic_lambda=self.dynamic_lambda,
             nnls_max_iter=self.nnls_max_iter,
             compute_dtype=self.compute_dtype,
-            use_pallas=self.use_pallas,
             solve_empty=self._include_empty,
         )
 
@@ -275,7 +272,7 @@ class WRMF(MatrixFactorizationRecommender):
         traffic, a hot column ~12 B per target row per sweep — see
         PERF.md), capped by a 1 GB budget for the dense W block.
         """
-        if (self.with_user_item_bias or self.use_pallas
+        if (self.with_user_item_bias
                 or self._multihost or self.routing is not None):
             return 0
         if self.solver != CONJUGATE_GRADIENT and self.n_hot == "auto":

@@ -79,14 +79,6 @@ class ALSConfig:
     #: dtype of the gathered factor blocks fed to the MXU ("bfloat16" halves
     #: HBM traffic of the hot gathers; accumulation stays float32)
     compute_dtype: str = "float32"
-    #: route eligible CG buckets through a fused Pallas kernel.  Variants:
-    #: "fused" (ops/pallas_sweep.py — whole-solve kernel, one HBM read of
-    #: the gathered block, in-kernel dense-head terms, any L), or the older
-    #: "gram" / "cg" kernels (ops/pallas_gram.py / ops/pallas_cg.py) which
-    #: engage only when the padded row length is >= ``pallas_min_len``.
-    use_pallas: bool = False
-    pallas_variant: str = "fused"
-    pallas_min_len: int = 256
     #: solve rows with zero total nnz too (implicit global-bias semantics,
     #: wrmf_implicit.hpp:180).  Only consulted on the hot/cold-split path,
     #: where bucket membership alone can't distinguish "row is empty" from
@@ -160,57 +152,6 @@ def _solve_bucket_implicit(
     normal equations, partitioned by item set, with zero per-nnz gathers for
     the head.
     """
-    if (cfg.use_pallas and cfg.pallas_variant == "fused"
-            and cfg.solver == CONJUGATE_GRADIENT and not cfg.with_biases
-            and sdt == jnp.float32):
-        from .pallas_sweep import (fused_implicit_solve,
-                                   fused_implicit_supported)
-        B, L = bucket.col_idx.shape
-        d = src_act.shape[1]
-        gdt = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-               else jnp.float32)
-        H = 0 if hot_W is None else hot_W.shape[1]
-        if fused_implicit_supported(B, L, d, jnp.dtype(gdt).itemsize, H):
-            src_g = jax.lax.optimization_barrier(src_act.astype(gdt))
-            Xg = src_g[bucket.col_idx]
-            W_f = None
-            if hot_W is not None:
-                W_f = hot_W.astype(gdt)
-                if hot_scale is not None:
-                    W_f = W_f * hot_scale[:, None].astype(gdt)
-            return fused_implicit_solve(
-                XtX, rhs_init, Xg, bucket.values, bucket.nnz, x_init,
-                lam, g,
-                W=W_f,
-                Vh=None if V_hot is None else V_hot.astype(gdt),
-                cg_steps=cfg.cg_steps)
-
-    if (cfg.use_pallas and cfg.pallas_variant in ("gram", "cg")
-            and cfg.solver == CONJUGATE_GRADIENT
-            and not cfg.with_biases and sdt == jnp.float32
-            and hot_W is None
-            and bucket.pad_len >= cfg.pallas_min_len):
-        # Gather in f32 — the HBM gather is row-fetch-bound and f32 rows
-        # fetch at ~2x the rate of bf16 rows; the bf16 cast for the MXU
-        # happens inside the kernel (gather_rate characterization, PERF.md).
-        rhs0 = rhs_init if (cfg.use_global_bias and rhs_init is not None
-                            ) else None
-        B, L = bucket.col_idx.shape
-        d = src_act.shape[1]
-        from .pallas_gram import gram_cg_implicit, gram_cg_supported
-        if gram_cg_supported(B, L, d):
-            Xg32 = src_act[bucket.col_idx].astype(sdt)
-            return gram_cg_implicit(
-                XtX, rhs0, Xg32, bucket.values, bucket.nnz,
-                x_init, lam, g, cg_steps=cfg.cg_steps,
-                mxu_bf16=(cfg.compute_dtype == "bfloat16"))
-        from .pallas_cg import fused_cg_implicit, fused_cg_supported
-        if fused_cg_supported(bucket.pad_len, d):
-            Xg32 = src_act[bucket.col_idx].astype(sdt)
-            return fused_cg_implicit(
-                XtX, rhs0, Xg32, bucket.values, bucket.nnz,
-                x_init, lam, g, cg_steps=cfg.cg_steps)
-
     mask = bucket.mask()
     gdt = (jnp.bfloat16 if (cfg.compute_dtype == "bfloat16"
                             and sdt == jnp.float32) else sdt)
@@ -340,20 +281,6 @@ def _solve_bucket_explicit(
     rating is a legal observed value: zero ratings contribute nothing to the
     rhs, but their ``v v'`` term still enters the lhs matvec and the loss.
     """
-    if (cfg.use_pallas and cfg.solver == CONJUGATE_GRADIENT
-            and not cfg.with_biases and sdt == jnp.float32
-            and hot_W is None
-            and bucket.pad_len >= cfg.pallas_min_len):
-        from .pallas_gram import gram_cg_explicit, gram_cg_supported
-        B, L = bucket.col_idx.shape
-        d = src_act.shape[1]
-        if gram_cg_supported(B, L, d):
-            Xg = src_act[bucket.col_idx].astype(sdt)   # f32 gather (PERF.md)
-            return gram_cg_explicit(
-                Xg, bucket.values, bucket.nnz, x_init, lam,
-                cg_steps=cfg.cg_steps, dynamic_lambda=cfg.dynamic_lambda,
-                mxu_bf16=(cfg.compute_dtype == "bfloat16"))
-
     mask = bucket.mask()
     gdt = (jnp.bfloat16 if (cfg.compute_dtype == "bfloat16"
                             and sdt == jnp.float32) else sdt)
