@@ -245,6 +245,20 @@ def _stack_coo(coo: sp.coo_matrix, batch_size: int, dtype,
             jnp.asarray(m.reshape(shape)))
 
 
+@jax.jit
+def _shuffle_shards(rows, cols, vals, valid, key):
+    """Permute staged COO shards on device (one gather over the flat nnz
+    axis); padding entries travel with their valid-mask bits."""
+    shp = rows.shape
+    n = rows.size
+    perm = jax.random.permutation(key, n)
+
+    def f(a):
+        return a.reshape(n)[perm].reshape(shp)
+
+    return f(rows), f(cols), f(vals), f(valid)
+
+
 class GloVe:
     """GloVe model (mlapi-style fit_transform)."""
 
@@ -341,11 +355,15 @@ class GloVe:
                     if is_triangular else None)
         for it in range(n_iter):
             if self.shuffle:
-                order = self._rng.permutation(rem.nnz)
-                shards = _stack_coo(rem, self.batch_size, self.dtype, order)
+                # device-side permutation: the staged shards never leave the
+                # device (host restaging cost ~16 B/nnz/epoch over the
+                # host->device link); the swapped (triangular) pass reuses
+                # the same permutation with roles exchanged, matching the
+                # reference's shared shuffle order (R/model_GloVe.R:126-136)
+                key = jax.random.PRNGKey(int(self._rng.integers(2 ** 31)))
+                shards = _shuffle_shards(*shards, key)
                 if is_triangular:
-                    shards_t = _stack_coo(rem, self.batch_size, self.dtype,
-                                          order, swap=True)
+                    shards_t = (shards[1], shards[0], shards[2], shards[3])
             cost = 0.0
             if grids is not None:
                 state, ch = _glove_dense_step(

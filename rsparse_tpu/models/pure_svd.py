@@ -54,7 +54,7 @@ class PureSVD(MatrixFactorizationRecommender):
                        n_iter=n_iter, convergence_tol=convergence_tol,
                        init=self._init, precision=self.precision,
                        seed=self.seed)
-        u, d, v = self._svd
+        u, d, v = self._svd[:3]
         # user embeddings = x V (reference R/model_PureSVD.R:77)
         xb = bucket_rows(csr, self.dtype)
         res = spmm_buckets(xb.buckets, csr.shape[0], v)

@@ -36,6 +36,22 @@ class SVDResult(NamedTuple):
     v: jax.Array
 
 
+class SoftALSFit(NamedTuple):
+    """Result of :func:`soft_als`: the SVD triple plus the per-iteration
+    convergence trace as a first-class field (the reference attaches it as
+    a matrix attribute, R/SoftALS.R:145-147,192-209; a function attribute
+    would be process-global and racy)."""
+
+    u: jax.Array
+    d: jax.Array
+    v: jax.Array
+    trace: tuple
+
+    @property
+    def svd(self) -> SVDResult:
+        return SVDResult(self.u, self.d, self.v)
+
+
 def svd_tall_skinny(x: jax.Array) -> SVDResult:
     """SVD of a tall-skinny matrix via Gram + symmetric eigendecomposition
     (the reference's crossprod + small-SVD, R/SoftALS.R:250-257)."""
@@ -163,6 +179,8 @@ def soft_als(
         svd_cur = SVDResult(q, jnp.ones((rank,), dtype),
                             jnp.zeros((n_cols, rank), dtype))
     else:
+        if hasattr(init, "u"):       # SVDResult / SoftALSFit warm start
+            init = (init.u, init.d, init.v)
         svd_cur = pad_svd(SVDResult(*(jnp.asarray(a, dtype) for a in init)),
                           rank, rng)
 
@@ -204,10 +222,7 @@ def soft_als(
             jnp.asarray(d_final[:n_keep], dtype),
             (v @ mvh.T)[:, :n_keep])
     svd_cur.u.block_until_ready()
-    # expose the per-iteration trace the way the reference attaches an
-    # attribute to the result (R/SoftALS.R:209)
-    soft_als.last_trace = trace  # type: ignore[attr-defined]
-    return svd_cur
+    return SoftALSFit(svd_cur.u, svd_cur.d, svd_cur.v, tuple(trace))
 
 
 def soft_impute(x, rank=10, lambda_=0.0, n_iter=100, convergence_tol=1e-3,
