@@ -15,7 +15,11 @@ batched matmuls too, one HBM read of ``lhs`` and one write of ``x`` total.
 Mosaic notes: no ``dynamic_slice``/``dynamic_update_slice`` lowering exists
 for values, so traced-index row/column extraction uses one-hot contractions
 and writes use iota masks; the blocked matrix is carried as per-block values
-(static slices only).
+(static slices only).  A fully static-unrolled panel formulation
+(python-int loop indices -> static slices) was tried in round 3: it should
+cut the dominant per-step cost ~3-5x, but its Mosaic compile through the
+remote toolchain exceeded 32 minutes (vs ~6.5 min for this fori_loop form)
+and was abandoned — see git history of this file.
 
 Numerics match the XLA blocked solve (true f32 throughout; normwise
 ~2.4e-7 vs an f64 oracle on well-conditioned ALS-style systems).
@@ -62,45 +66,48 @@ def _bmv_t(a, v):
     return jnp.sum(a * v[:, :, None], axis=1)
 
 
-def _panel_factor_inverse(P, bs):
-    """Cholesky L and its inverse M = L^{-1} of (B,bs,bs) SPD panels.
+def _panel_factor(P, bs):
+    """Rank-1 sweep Cholesky of (B,bs,bs) SPD panels -> lower L.
 
-    Fully static-unrolled column sweep: loop indices are Python ints, so
-    every extraction/update is a static slice (cheap lane ops in Mosaic)
-    instead of a one-hot contraction over the whole panel — the fori_loop
-    formulation cost ~1.4us per sequential step from full-panel one-hot
-    reads/writes and dominated the kernel (94.5 ms at B=8192, d=128).
-
-    Returns (L, M) as (B,bs,bs).  The inverse rows come from forward
-    substitution interleaved with the factorization (row i of L is final
-    after sweep step i), so both cost one bs-step sequential chain.
+    Same masked-sweep math as ops/solvers._chol_panel; traced-index column
+    extraction is a one-hot contraction (Mosaic has no value dynamic_slice).
     """
-    cols = [P[:, :, j] for j in range(bs)]               # (B, bs) each
-    row_iota = lax.broadcasted_iota(jnp.int32, (1, bs), 1)
-    Lcols = []
-    for j in range(bs):
-        dj = cols[j][:, j]
+    rows = lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+    idx = lax.broadcasted_iota(jnp.int32, (bs, 1), 0)[:, 0]
+
+    def body(j, A):
+        onehot = (idx == j).astype(jnp.float32)            # (bs,)
+        colraw = jnp.sum(A * onehot[None, None, :], axis=2)  # col j: (B,bs)
+        dj = jnp.sum(colraw * onehot[None, :], axis=1)       # A[j,j]: (B,)
         piv = jnp.sqrt(jnp.maximum(dj, 0.0))
         safe = jnp.where(piv > 0, piv, 1.0)
-        colj = jnp.where(row_iota >= j, cols[j] / safe[:, None], 0.0)
-        Lcols.append(colj)
-        for t in range(j + 1, bs):
-            cols[t] = cols[t] - colj * colj[:, t][:, None]
-    # forward substitution on I: M row i = (e_i - sum_{k<i} L[i,k] M_k) / L[i,i]
-    Mrows = []
-    for i in range(bs):
-        acc = None
-        for k in range(i):
-            term = Lcols[k][:, i][:, None] * Mrows[k]
-            acc = term if acc is None else acc + term
-        e_i = (row_iota == i).astype(P.dtype)             # (1, bs)
-        num = e_i - acc if acc is not None else jnp.broadcast_to(
-            e_i, Lcols[i].shape)
-        lii = Lcols[i][:, i]
-        Mrows.append(num / jnp.where(lii > 0, lii, 1.0)[:, None])
-    L = jnp.stack(Lcols, axis=2)
-    M = jnp.stack(Mrows, axis=1)
-    return L, M
+        col = colraw / safe[:, None]
+        colmask = (rows >= j) & (cols == j)
+        A = jnp.where(colmask[None], col[:, :, None], A)
+        trail = (rows > j) & (cols > j)
+        A = A - jnp.where(trail[None], col[:, :, None] * col[:, None, :], 0.0)
+        return A
+
+    L = lax.fori_loop(0, bs, body, P)
+    return jnp.where((rows >= cols)[None], L, 0.0)
+
+
+def _panel_inverse(L, bs):
+    """M = L^{-1} for (B,bs,bs) lower-triangular L (forward subst. on I)."""
+    rows = lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+    idx = lax.broadcasted_iota(jnp.int32, (bs, 1), 0)[:, 0]
+
+    def body(i, M):
+        onehot = (idx == i).astype(jnp.float32)
+        Lrow = jnp.sum(L * onehot[None, :, None], axis=1)   # (B,bs)
+        lii = jnp.sum(Lrow * onehot[None, :], axis=1)
+        kmask = (idx < i).astype(jnp.float32)
+        acc = jnp.sum((Lrow * kmask[None])[:, :, None] * M, axis=1)
+        row = (onehot[None] - acc) / jnp.where(lii > 0, lii, 1.0)[:, None]
+        return jnp.where((rows == i)[None], row[:, None, :], M)
+
+    return lax.fori_loop(0, bs, body, jnp.zeros_like(L))
 
 
 def _chol_solve_kernel(lhs_ref, rhs_ref, out_ref, *, bs):
@@ -116,7 +123,8 @@ def _chol_solve_kernel(lhs_ref, rhs_ref, out_ref, *, bs):
     # substitution phases are batched matmuls
     Minv = []
     for k in range(nb):
-        L, M = _panel_factor_inverse(blk[k][k], bs)
+        L = _panel_factor(blk[k][k], bs)
+        M = _panel_inverse(L, bs)
         Minv.append(M)
         blk[k][k] = L
         for i in range(k + 1, nb):
