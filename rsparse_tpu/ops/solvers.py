@@ -35,24 +35,16 @@ def _on_tpu() -> bool:
 def batched_spd_solve(lhs: jax.Array, rhs: jax.Array) -> jax.Array:
     """Solve ``lhs @ x = rhs`` for a batch of SPD systems.
 
-    lhs: (B, d, d), rhs: (B, d) -> (B, d).  On TPU, f32 batches route to the
-    VMEM-resident Pallas kernel (ops/pallas_chol.py) — the XLA blocked solve
-    streams every sequential panel op through HBM and is ~4x slower.
-    Elsewhere (CPU mesh tests, f64) the blocked batched Cholesky runs for
-    larger batches/dims (XLA's ``lax.linalg.cholesky`` + triangular_solve
-    lower to scalar code on TPU, ~50x off); small problems keep the library
-    path.
+    lhs: (B, d, d), rhs: (B, d) -> (B, d).  Large batches route to the
+    blocked batched Cholesky — the fastest measured formulation on v5e
+    (28.4 ms per 8192 systems at d=128: 7.4x faster than XLA's native
+    ``cholesky``+``triangular_solve`` at 210 ms, 18x over ``linalg.solve``
+    LU at 510 ms, and 3.3x over a VMEM-resident Pallas kernel; see the
+    PERF.md round-3 solver ADR for the full matrix).  Small problems keep
+    the library path (its per-entity scalar lowering only loses at scale).
     """
     B, d = lhs.shape[0], lhs.shape[-1]
     if B * d * d >= 1 << 16 and d >= 16:
-        if _on_tpu() and lhs.dtype == jnp.float32 and d >= 32:
-            from .pallas_chol import pallas_spd_solve, pick_chunk
-            # the kernel's scoped-VMEM footprint grows as bc*d^2; route to
-            # it only when a chunk >= 8 fits (d <= ~256 on v5e), else the
-            # XLA blocked solve — a compile-time OOM inside an outer jitted
-            # sweep cannot be caught at runtime
-            if pick_chunk(d) >= 8:
-                return pallas_spd_solve(lhs, rhs)
         return batched_spd_solve_blocked(lhs, rhs)
     chol = lax.linalg.cholesky(lhs)
     y = lax.linalg.triangular_solve(
@@ -66,9 +58,8 @@ def batched_spd_solve(lhs: jax.Array, rhs: jax.Array) -> jax.Array:
 # precision: the TPU default lowers f32 dots to one bf16 MXU pass, which
 # costs ~3.5e-3 relative error on the solution — a silent break of the
 # "exact solver" contract (reference arma::solve is true f32/f64).  The
-# blocked solve is bound by its sequential panel structure, not the MXU,
-# so the multi-pass f32 dots are free (measured: 23.5 vs 23.6 ms at
-# B=8192, d=128 on v5e).
+# blocked solve is bound by its sequential op chain, not the MXU, so the
+# multi-pass f32 dots are free.
 _HI = lax.Precision.HIGHEST
 
 
@@ -98,33 +89,44 @@ def _chol_panel(A: jax.Array) -> jax.Array:
     return jnp.where((rows >= cols)[None], A, 0.0)
 
 
-def _tri_inverse_lower(L: jax.Array) -> jax.Array:
-    """Exact inverse of batched lower-triangular ``L`` (B, n, n) in
-    ``ceil(log2 n)`` doubling steps of batched MXU matmuls.
-
-    Write ``L = D (I + N)`` with ``N = D^{-1} L - I`` strictly lower
-    (nilpotent, ``N^n = 0``); then ``(I + N)^{-1} = sum_j (-N)^j`` truncates
-    exactly at ``j < n`` and the geometric-product identity
-    ``prod_k (I + M^{2^k}) = sum_{j < 2^K} M^j`` (``M = -N``) evaluates the
-    series with 2 matmuls per doubling level — no sequential substitution
-    loop, so the whole inverse is a handful of (B, n, n) MXU ops instead of
-    ``n`` HBM-bound masked steps.  Singular diagonals (padding rows) are
-    treated as 1, matching the masked-sweep convention in _chol_panel.
-    """
+def _trsm_lower(L: jax.Array, Bmat: jax.Array) -> jax.Array:
+    """Solve X @ L.T = B for X, with L (B, n, n) lower-triangular and
+    B (B, m, n): forward substitution over the n columns."""
     n = L.shape[-1]
-    d = jnp.diagonal(L, axis1=-2, axis2=-1)                 # (B, n)
-    dinv = 1.0 / jnp.where(d > 0, d, 1.0)
-    eye = jnp.eye(n, dtype=L.dtype)
-    M = eye[None] - L * dinv[:, :, None]                    # -N, strictly lower
-    X = eye[None] + M
-    S = M
-    steps = max((n - 1).bit_length(), 1)                    # ceil(log2 n)
-    for _ in range(steps - 1):
-        S = jnp.einsum("bij,bjk->bik", S, S, precision=_HI,
-                       preferred_element_type=L.dtype)
-        X = X + jnp.einsum("bij,bjk->bik", S, X, precision=_HI,
-                           preferred_element_type=L.dtype)
-    return X * dinv[:, None, :]                             # (I+N)^{-1} D^{-1}
+
+    def body(j, X):
+        # x_j = (b_j - sum_{k<j} X_k * L[j, k]) / L[j, j]
+        lrow = L[:, j, :]                                  # (B, n)
+        kmask = (lax.broadcasted_iota(jnp.int32, (n,), 0) < j)
+        acc = jnp.einsum("bmn,bn->bm", X,
+                         jnp.where(kmask[None], lrow, 0.0), precision=_HI)
+        ljj = lrow[:, j]
+        xj = (Bmat[:, :, j] - acc) / jnp.where(ljj > 0, ljj, 1.0)[:, None]
+        return X.at[:, :, j].set(xj)
+
+    return lax.fori_loop(0, n, body, jnp.zeros_like(Bmat))
+
+
+def _trsm_lower_t(L: jax.Array, Bmat: jax.Array) -> jax.Array:
+    """Solve X @ L = B for X, with L (B, n, n) lower-triangular and
+    B (B, m, n): backward substitution over the n columns (equivalently
+    solves ``L.T x = b`` per row of B).  Written with a descending
+    ``fori_loop`` index rather than array reversal — ``lax.rev`` on this
+    pattern crashes XLA:CPU's AlgebraicSimplifier (HandleReverse)."""
+    n = L.shape[-1]
+
+    def body(i, X):
+        j = n - 1 - i
+        # x_j = (b_j - sum_{k>j} X_k * L[k, j]) / L[j, j]
+        lcol = L[:, :, j]                                  # (B, n)
+        kmask = (lax.broadcasted_iota(jnp.int32, (n,), 0) > j)
+        acc = jnp.einsum("bmn,bn->bm", X,
+                         jnp.where(kmask[None], lcol, 0.0), precision=_HI)
+        ljj = L[:, j, j]
+        xj = (Bmat[:, :, j] - acc) / jnp.where(ljj > 0, ljj, 1.0)[:, None]
+        return X.at[:, :, j].set(xj)
+
+    return lax.fori_loop(0, n, body, jnp.zeros_like(Bmat))
 
 
 # Batch sweet spot of the blocked solve on v5e (measured, d=128): the
@@ -137,20 +139,13 @@ _SOLVE_CHUNK = 8192
 
 
 def batched_spd_solve_blocked(lhs: jax.Array, rhs: jax.Array,
-                              block: int = 16) -> jax.Array:
-    """MXU-friendly blocked batched Cholesky solve, matmul substitutions.
+                              block: int = 32) -> jax.Array:
+    """MXU-friendly blocked batched Cholesky solve.
 
     Right-looking blocked factorization: per panel a masked rank-1 sweep
-    (VPU, batch-vectorized, the only sequential-in-``block`` piece), an
-    explicit panel inverse by nilpotent doubling (:func:`_tri_inverse_lower`
-    — exact, a handful of MXU matmuls), and then EVERY substitution —
-    off-diagonal panels, trailing updates, forward/back solve — is a batched
-    matmul against the panel inverses.  The previous formulation's
-    per-column ``trsm`` loops streamed the full panel batch through HBM once
-    per column (~28 ms per 8192 systems at d=128 on v5e, flat in ``block``);
-    this one cuts the sequential chain to ``nb`` panel sweeps + O(nb^2)
-    matmuls.  Dimensions are padded to a block multiple with an identity
-    diagonal (solution unchanged).
+    (VPU, batch-vectorized), off-diagonal blocks by forward substitution,
+    trailing updates as batched matmuls (MXU).  Dimensions are padded to a
+    block multiple with an identity diagonal (solution unchanged).
     """
     B, d = lhs.shape[0], lhs.shape[-1]
     if B > _SOLVE_CHUNK + _SOLVE_CHUNK // 2:
@@ -170,28 +165,23 @@ def batched_spd_solve_blocked(lhs: jax.Array, rhs: jax.Array,
 
     nb = D // block
     A = lhs
-    Minv = []
 
     # factorize: L overwrites the lower triangle of A, block column by
-    # block column; keep each panel's explicit inverse
+    # block column
     for k in range(nb):
         s = k * block
         panel = _chol_panel(A[:, s:s + block, s:s + block])
-        M = _tri_inverse_lower(panel)
-        Minv.append(M)
         A = A.at[:, s:s + block, s:s + block].set(panel)
         if k + 1 < nb:
             below = A[:, s + block:, s:s + block]            # (B, m, bs)
-            # L21 = A21 L11^{-T} = below @ M^T
-            Lb = jnp.einsum("bmj,bkj->bmk", below, M,
-                            preferred_element_type=dt, precision=_HI)
+            Lb = _trsm_lower(panel, below)
             A = A.at[:, s + block:, s:s + block].set(Lb)
             # trailing SPD update: A22 -= Lb @ Lb.T (batched MXU matmul)
             upd = jnp.einsum("bik,bjk->bij", Lb, Lb,
                              preferred_element_type=dt, precision=_HI)
             A = A.at[:, s + block:, s + block:].add(-upd)
 
-    # forward substitution L y = rhs: y_k = M_k (rhs_k - sum_{j<k} L_kj y_j)
+    # forward substitution L y = rhs, block by block
     y = jnp.zeros((B, D), dt)
     for k in range(nb):
         s = k * block
@@ -200,21 +190,23 @@ def batched_spd_solve_blocked(lhs: jax.Array, rhs: jax.Array,
             acc = acc - jnp.einsum(
                 "bij,bj->bi", A[:, s:s + block, :s], y[:, :s],
                 preferred_element_type=dt, precision=_HI)
-        yk = jnp.einsum("bij,bj->bi", Minv[k], acc,
-                        preferred_element_type=dt, precision=_HI)
+        yk = _trsm_lower(A[:, s:s + block, s:s + block],
+                         acc[:, None, :])[:, 0, :]
         y = y.at[:, s:s + block].set(yk)
 
-    # back substitution L' x = y: x_k = M_k^T (y_k - sum_{i>k} L_ik^T x_i)
+    # back substitution L' x = y, block by block (reverse)
     x = jnp.zeros((B, D), dt)
     for k in reversed(range(nb)):
         s = k * block
         acc = y[:, s:s + block]
         if k + 1 < nb:
+            # contribution of already-solved lower blocks through L'
             acc = acc - jnp.einsum(
                 "bji,bj->bi", A[:, s + block:, s:s + block],
                 x[:, s + block:], preferred_element_type=dt, precision=_HI)
-        xk = jnp.einsum("bji,bj->bi", Minv[k], acc,
-                        preferred_element_type=dt, precision=_HI)
+        # solve L_kk' x_k = acc  (backward substitution; no lax.rev)
+        Lkk = A[:, s:s + block, s:s + block]
+        xk = _trsm_lower_t(Lkk, acc[:, None, :])[:, 0, :]
         x = x.at[:, s:s + block].set(xk)
 
     return x[:, :d]
