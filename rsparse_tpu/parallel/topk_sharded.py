@@ -86,8 +86,17 @@ def sharded_top_product(
 
     out_i = np.empty((n_users, k), np.int32)
     out_s = np.empty((n_users, k), np.float32)
-    y_dev = jax.device_put(jnp.asarray(yp),
-                           NamedSharding(mesh, P(None, axis)))
+    # content-addressed staging of the sharded item factors: predict is
+    # called repeatedly against fixed components, and re-uploading the
+    # (R, n_pad) table per call costs seconds on a slow host link
+    import zlib
+    from rsparse_tpu.sparse.device import staged_cached
+    fp = zlib.adler32(np.ascontiguousarray(y))
+    y_dev = staged_cached(
+        "sharded_topk_y", sp.csr_matrix((1, 1)),
+        lambda: jax.device_put(jnp.asarray(yp),
+                               NamedSharding(mesh, P(None, axis))),
+        extra=(y.shape, n_pad, fp, mesh, axis))
     for s in range(0, n_users, user_chunk):
         e = min(s + user_chunk, n_users)
         bits = pack_mask_bits(n_pad, csr=nr, rows=slice(s, e),
@@ -137,7 +146,28 @@ def sharded_top_k(
     gm = jnp.float32(glob_mean)
     is_bits = mask_bits is not None
 
-    def local_topk(x_l, y_l, m_l=None):
+    m_arg = mask_bits if is_bits else mask
+    fn = _sharded_topk_fn(mesh, axis, k, shard, n_users, n_dev, is_bits,
+                          m_arg is not None)
+    if m_arg is not None:
+        mask_sh = jax.device_put(m_arg, NamedSharding(mesh, P(None, axis)))
+        return fn(x_rep, y_sh, gm, mask_sh)
+    return fn(x_rep, y_sh, gm)
+
+
+# compiled-callable cache: building the shard_map closure inside every call
+# would defeat jax's compilation cache (fresh function identity each time —
+# measured 35 s for two predict chunks that should cost ~20 ms warm)
+_FN_CACHE: dict = {}
+
+
+def _sharded_topk_fn(mesh, axis, k, shard, n_users, n_dev, is_bits, masked):
+    key = (mesh, axis, k, shard, n_users, n_dev, is_bits, masked)
+    hit = _FN_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    def local_topk(x_l, y_l, gm, m_l=None):
         # per-shard fused dot + mask + top-k (tournament formulation: one
         # pass over the shard's scores + k tiny group re-scans, vs ~40
         # bitonic passes for lax.top_k — see ops/topk.py)
@@ -161,14 +191,17 @@ def sharded_top_k(
         sm, im = jax.lax.top_k(s_flat, k)
         return sm, jnp.take_along_axis(i_flat, im, axis=1)
 
-    m_arg = mask_bits if is_bits else mask
-    if m_arg is not None:
-        mask_sh = jax.device_put(m_arg, NamedSharding(mesh, P(None, axis)))
-        fn = jax.shard_map(local_topk, mesh=mesh,
-                           in_specs=(P(), P(None, axis), P(None, axis)),
-                           out_specs=(P(), P()), check_vma=False)
-        return fn(x_rep, y_sh, mask_sh)
-    fn = jax.shard_map(local_topk, mesh=mesh,
-                       in_specs=(P(), P(None, axis)),
-                       out_specs=(P(), P()), check_vma=False)
-    return fn(x_rep, y_sh)
+    if masked:
+        fn = jax.jit(jax.shard_map(
+            local_topk, mesh=mesh,
+            in_specs=(P(), P(None, axis), P(), P(None, axis)),
+            out_specs=(P(), P()), check_vma=False))
+    else:
+        fn = jax.jit(jax.shard_map(
+            local_topk, mesh=mesh,
+            in_specs=(P(), P(None, axis), P()),
+            out_specs=(P(), P()), check_vma=False))
+    _FN_CACHE[key] = fn
+    if len(_FN_CACHE) > 32:
+        _FN_CACHE.pop(next(iter(_FN_CACHE)))
+    return fn
