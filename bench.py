@@ -67,7 +67,7 @@ def synth_ml20m_like(n_users=N_USERS, n_items=N_ITEMS, mean_nnz=MEAN_NNZ,
 def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
                   solver="conjugate_gradient",
                   max_buckets=24, n_hot=0, feedback="implicit",
-                  hot_dtype=None):
+                  hot_dtype=None, max_elems=1 << 21):
     """Sustained user-updates/s: ``reps`` chained warm sweeps, one final
     scalar readback forcing the dependency chain.
 
@@ -101,7 +101,7 @@ def measure_sweep(csr, rank, reps, platform=None, compute_dtype="bfloat16",
         hot, cold = split_hot_cold(csr, n_hot, jnp.float32, w_dtype=w_dt,
                                    with_presence=(feedback == "explicit"))
     ui = bucket_rows(cold, jnp.float32, max_buckets=max_buckets,
-                     include_empty=bool(n_hot), max_elems=1 << 21)
+                     include_empty=bool(n_hot), max_elems=max_elems)
     padded = sum(B * L for B, L in ui.shapes)
     hot_nnz = csr.nnz - cold.nnz
     log(f"bucket build: {time.time()-t0:.1f}s {len(ui.shapes)} buckets, "
@@ -472,7 +472,7 @@ def main():
             csr, RANK, 5, n_hot=N_HOT, feedback="explicit")),
         # driver config #2's solver axis: exact Cholesky vs CG at rank 128
         ("cholesky_sweep", lambda: None if quick else measure_sweep(
-            csr, RANK, 3, solver="cholesky")),
+            csr, RANK, 3, solver="cholesky", max_elems=1 << 22)),
         # full model path incl. the closing exact transform half-sweep
         ("fit_e2e", lambda: measure_fit_e2e(
             sp.csr_matrix(csr[:8192]) if quick else

@@ -213,3 +213,20 @@ def test_glove_head_split_convergence():
         c.append(g.cost_history[-1])
     assert c[0] == c[0] and c[1] == c[1]          # no NaNs
     assert abs(c[0] - c[1]) / max(c[0], 1e-9) < 0.25
+
+
+def test_glove_device_shuffle_reproducible():
+    """Same seed -> identical device-side epoch shuffles -> identical fit."""
+    import scipy.sparse as sp
+    from rsparse_tpu.models.glove import GloVe
+    rng = np.random.default_rng(0)
+    m = sp.random(60, 60, density=0.2, random_state=1, format="coo")
+    m.data = 1.0 + 5.0 * m.data
+    tcm = sp.csr_matrix(np.triu(m.toarray()))  # triangular input
+    outs = []
+    for _ in range(2):
+        g = GloVe(rank=6, x_max=10.0, learning_rate=0.05, seed=3,
+                  shuffle=True)
+        outs.append(np.asarray(
+            g.fit_transform(tcm, n_iter=3, convergence_tol=-1)))
+    np.testing.assert_array_equal(outs[0], outs[1])
