@@ -99,10 +99,24 @@ def sharded_top_product(
         extra=(y.shape, n_pad, fp, mesh, axis))
     for s in range(0, n_users, user_chunk):
         e = min(s + user_chunk, n_users)
-        bits = pack_mask_bits(n_pad, csr=nr, rows=slice(s, e),
-                              exclude_mask=exclude_mask, n_rows=e - s)
+
+        def stage_bits(s=s, e=e):
+            bits = pack_mask_bits(n_pad, csr=nr, rows=slice(s, e),
+                                  exclude_mask=exclude_mask, n_rows=e - s)
+            return jax.device_put(jnp.asarray(bits),
+                                  NamedSharding(mesh, P(None, axis)))
+
+        if nr is not None:
+            # masks are usually the (static) training interactions: cache
+            # the packed+staged bitmask chunk (host packbits alone costs
+            # ~0.5 s per 8k-user chunk at 32k items)
+            ekey = None if exclude_mask is None else exclude_mask.tobytes()
+            bits_d = staged_cached("sharded_topk_bits", nr, stage_bits,
+                                   extra=(n_pad, s, e, ekey, mesh, axis))
+        else:
+            bits_d = stage_bits()
         si, ii = sharded_top_k(mesh, jnp.asarray(x[s:e]), y_dev, k,
-                               mask_bits=jnp.asarray(bits),
+                               mask_bits=bits_d,
                                glob_mean=glob_mean, axis=axis)
         out_s[s:e] = np.asarray(si)
         out_i[s:e] = np.asarray(ii)
