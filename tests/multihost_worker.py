@@ -5,7 +5,13 @@ virtual 2-device CPU backend, fits WRMF on a deterministic synthetic
 problem through the multi-host mesh path, and (process 0) writes the
 results for the parent test to compare against a single-process fit.
 
-Usage: python multihost_worker.py <pid> <nproc> <port> <out.npz>
+Usage: python multihost_worker.py <pid> <nproc> <port> <out.npz> [mode]
+
+``mode`` = "fit" (default): plain 2-iteration fit.
+``mode`` = "ckpt": fit 1 iteration with a mid-fit checkpoint, then resume
+in a FRESH model for the remaining iteration — the multi-host
+checkpoint-restart story (orbax multiprocess save/restore of the
+replicated fit state).
 """
 
 import os
@@ -15,6 +21,7 @@ import sys
 def main():
     pid, nproc, port, out = (int(sys.argv[1]), int(sys.argv[2]),
                              sys.argv[3], sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "fit"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -41,9 +48,20 @@ def main():
 
     mesh = make_multihost_mesh()
     assert mesh.shape == {"dcn": nproc, "ici": 2}
-    m = WRMF(rank=6, lambda_=0.5, feedback="implicit", solver="cholesky",
-             precision="double", seed=0, mesh=mesh)
-    emb = m.fit_transform(x, n_iter=2, convergence_tol=-1)
+    kw = dict(rank=6, lambda_=0.5, feedback="implicit", solver="cholesky",
+              precision="double", seed=0, mesh=mesh)
+    if mode == "ckpt":
+        ckpt_dir = out + ".ckpt"
+        m1 = WRMF(**kw)
+        m1.fit_transform(x, n_iter=1, convergence_tol=-1,
+                         checkpoint_path=ckpt_dir, checkpoint_every=1)
+        # fresh process-state model resumes from the shared store
+        m = WRMF(**kw)
+        emb = m.fit_transform(x, n_iter=2, convergence_tol=-1,
+                              checkpoint_path=ckpt_dir, resume=True)
+    else:
+        m = WRMF(**kw)
+        emb = m.fit_transform(x, n_iter=2, convergence_tol=-1)
 
     # every process holds the same replicated result; process 0 reports
     if pid == 0:

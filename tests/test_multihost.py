@@ -27,7 +27,8 @@ def _free_port() -> int:
     return port
 
 
-def _run_workers(n_proc: int, out_path: str, timeout: int = 600):
+def _run_workers(n_proc: int, out_path: str, timeout: int = 600,
+                 mode: str = "fit"):
     port = _free_port()
     script = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     env = dict(os.environ)
@@ -35,7 +36,7 @@ def _run_workers(n_proc: int, out_path: str, timeout: int = 600):
     procs = [
         subprocess.Popen(
             [sys.executable, script, str(pid), str(n_proc), str(port),
-             out_path],
+             out_path, mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for pid in range(n_proc)
     ]
@@ -110,3 +111,16 @@ def test_distributed_bucket_rows_single_process():
         c, v = seen[r]
         np.testing.assert_array_equal(c, csr.indices[s:e])
         np.testing.assert_allclose(v, csr.data[s:e], rtol=1e-6)
+
+
+def test_two_process_checkpoint_resume(tmp_path):
+    """Mid-fit checkpoint + resume across 2 processes must reproduce the
+    uninterrupted multi-host fit exactly (orbax multiprocess store of the
+    replicated fit state; the ALS loop is deterministic given (U, V))."""
+    out_plain = str(tmp_path / "plain.npz")
+    _run_workers(2, out_plain)
+    out_ckpt = str(tmp_path / "ckpt.npz")
+    _run_workers(2, out_ckpt, mode="ckpt")
+    a, b = np.load(out_plain), np.load(out_ckpt)
+    np.testing.assert_allclose(b["emb"], a["emb"], rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(b["loss"], a["loss"], rtol=1e-12)
