@@ -137,8 +137,9 @@ class MatrixFactorizationRecommender:
         """
         comps = np.asarray(self.components, np.float32)
         n_items = comps.shape[1]
-        if k is None:
-            k = n_items - 1
+        # the query item is always excluded, so at most n_items - 1 results
+        # (both paths — the width must not depend on the path taken)
+        k = n_items - 1 if k is None else min(k, n_items - 1)
         if self.item_ids is not None and not isinstance(item_id, (int, np.integer)):
             matches = np.flatnonzero(
                 np.asarray(self.item_ids, object) == item_id)
@@ -156,7 +157,7 @@ class MatrixFactorizationRecommender:
             from ..ops.topk import top_product
             idx, scores = top_product(
                 self._components_l2[:, i][None, :], self._components_l2,
-                min(k, n_items - 1), exclude=np.asarray([i], np.int64))
+                k, exclude=np.asarray([i], np.int64))
             order, scr = idx[0], scores[0]
         else:
             q = self._components_l2[:, i]

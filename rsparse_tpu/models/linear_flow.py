@@ -55,6 +55,7 @@ class LinearFlow(MatrixFactorizationRecommender):
                 "solve_right_singular_vectors must be 'soft_impute' or 'svd'")
         self.rank = int(rank)
         self.lambda_ = float(lambda_)
+        self._custom_preprocess = preprocess is not None
         self.preprocess = preprocess or (lambda m: m)
         self.solve_right_singular_vectors = solve_right_singular_vectors
         self.precision = precision
@@ -117,6 +118,12 @@ class LinearFlow(MatrixFactorizationRecommender):
         contract R/model_LinearFlow.R:55)."""
         from ..sparse.splr import SparsePlusLowRank
         if isinstance(x, SparsePlusLowRank):
+            if self._custom_preprocess:
+                raise ValueError(
+                    "a custom preprocess hook is not supported with "
+                    "SparsePlusLowRank input (it operates on CSR matrices)")
+            self.item_ids = None      # splr carries no dimnames
+            self.user_ids = None
             if self.v is None:
                 self.v = self._get_v_splr(x, n_iter)
             v_np = np.asarray(self.v, np.float64)

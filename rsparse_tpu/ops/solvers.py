@@ -25,13 +25,6 @@ SCD_TOL = 1e-4
 NNLS_EPS = 1e-16
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # noqa: BLE001
-        return False
-
-
 def batched_spd_solve(lhs: jax.Array, rhs: jax.Array) -> jax.Array:
     """Solve ``lhs @ x = rhs`` for a batch of SPD systems.
 

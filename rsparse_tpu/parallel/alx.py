@@ -25,7 +25,6 @@ default path (reference solver contract: inst/include/wrmf_implicit.hpp
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -34,7 +33,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.als import (ALSConfig, _solve_one_bucket, _src_reg_loss,
-                       _assemble_target, _active_slices, _exact_prec)
+                       _assemble_target, _active_slices)
 from ..config import accum_dtype
 from ..sparse.device import BucketedRows, RowBucket
 from .routing import RoutingPlan, build_routing_plan
@@ -112,6 +111,62 @@ def _exchange_local(src_l, req_l, axis: str, n_dev: int, m: int):
     return cache.reshape(n_dev * m, src_l.shape[1])
 
 
+# Compiled-callable caches: rebuilding jitted shard_map closures inside
+# every sweep call would defeat jax's compilation cache (fresh function
+# identity -> full retrace+recompile per half-sweep; same pitfall measured
+# at 35 s vs 20 ms in parallel/topk_sharded.py).
+_EXCHANGE_FNS: dict = {}
+_BUCKET_FNS: dict = {}
+
+
+def _get_exchange_fn(mesh: Mesh, axis: str, n_dev: int, m: int):
+    key = (mesh, axis, n_dev, m)
+    fn = _EXCHANGE_FNS.get(key)
+    if fn is None:
+        def ex(src_l, req_l):
+            return _exchange_local(src_l, req_l, axis, n_dev, m)
+
+        fn = jax.jit(jax.shard_map(ex, mesh=mesh,
+                                   in_specs=(P(axis), P(axis)),
+                                   out_specs=P(axis), check_vma=False))
+        _EXCHANGE_FNS[key] = fn
+    return fn
+
+
+def _get_bucket_fn(mesh: Mesh, axis: str, cfg: ALSConfig, n_tgt: int,
+                   has_rhs0: bool, sdt_name: str, dt_name: str):
+    """Per-bucket routed solve: device-local bucket kernel + psum'd loss.
+    Cached per (mesh, cfg, n_tgt, dtype) — jit specializes on array shapes,
+    so one entry serves every bucket shape of a fit."""
+    key = (mesh, axis, cfg, n_tgt, has_rhs0, sdt_name, dt_name)
+    fn = _BUCKET_FNS.get(key)
+    if fn is not None:
+        return fn
+    sdt = jnp.dtype(sdt_name)
+    dt = jnp.dtype(dt_name)
+
+    def body(cache_l, XtX, rhs_init, old_l, rid_l, ci_l, val_l, nz_l,
+             lam_, g_):
+        bucket = RowBucket(rid_l, ci_l, val_l, nz_l)
+        ids = jnp.minimum(rid_l, n_tgt - 1)
+        valid = rid_l < n_tgt
+        x_init = old_l[ids]
+        y, le = _solve_one_bucket(cache_l, None, XtX,
+                                  rhs_init if has_rhs0 else None, bucket,
+                                  x_init, lam_, g_, cfg, sdt)
+        y = jnp.where(valid[:, None], y, 0.0)
+        return y.astype(dt), jax.lax.psum(
+            jnp.sum(jnp.where(valid, le, 0.0)), axis)
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(), P(axis), P(axis), P(axis),
+                  P(axis), P(), P()),
+        out_specs=(P(axis), P()), check_vma=False))
+    _BUCKET_FNS[key] = fn
+    return fn
+
+
 def alx_sweep(
     mesh: Mesh,
     src: jax.Array,                # (n_src, R) host/replicated factors
@@ -126,13 +181,16 @@ def alx_sweep(
     """One routed ALS half-sweep; numerically identical to
     :func:`ops.als.wrmf_sweep` on the same buckets.
 
-    The whole compute path — factor exchange, psum Gram, batched solves —
-    runs inside a single ``shard_map`` region per bucket; the solved rows
-    are scattered into the replicated target table outside.
+    Per half-sweep: ONE routed exchange (the static plan covers every
+    bucket's requests) and ONE full-table Gram/rhs_init build; each bucket
+    then runs a device-local solve inside a cached shard_map program, and
+    the solved rows are scattered into the replicated target table outside.
     """
     if cfg.with_biases:
         raise NotImplementedError("routing='alx' supports the no-per-entity"
                                   "-bias configurations")
+    from ..ops.als import _sweep_prepare
+
     n_tgt = tgt_old.shape[0]
     R = src.shape[1]
     dtype = src.dtype
@@ -142,63 +200,36 @@ def alx_sweep(
     n_dev = mesh.shape[axis]
     m = stage.plan.cache_size // n_dev
 
-    src_sl, tgt_sl = _active_slices(cfg, R)
-    src_act = src[:, src_sl]
+    # sweep-invariant pieces, computed once: active slices, full-table Gram
+    # (+ridge) and global-bias rhs_init — same math as the unrouted path
+    src_act, _, XtX, rhs_init = _sweep_prepare(src, lam, g, cfg, sdt)
+    _, tgt_sl = _active_slices(cfg, R)
     d = src_act.shape[1]
-    if stage.n_src_padded != src_act.shape[0]:
-        src_act = jnp.concatenate([
-            src_act, jnp.zeros((stage.n_src_padded - src_act.shape[0], d),
-                               src_act.dtype)], axis=0)
     old_act = tgt_old[:, tgt_sl]
+    has_rhs0 = rhs_init is not None
+    if rhs_init is None:
+        rhs_init = jnp.zeros((d,), sdt)
 
-    src_sh = jax.device_put(src_act, NamedSharding(mesh, P(axis)))
+    src_x = src_act.astype(sdt)
+    if stage.n_src_padded != src_x.shape[0]:
+        src_x = jnp.concatenate([
+            src_x, jnp.zeros((stage.n_src_padded - src_x.shape[0], d),
+                             src_x.dtype)], axis=0)
+    src_sh = jax.device_put(src_x, NamedSharding(mesh, P(axis)))
     req_sh = jax.device_put(
         stage.plan.request_ids.reshape(n_dev * n_dev, m),
         NamedSharding(mesh, P(axis)))
 
-    @partial(jax.jit, static_argnames=("n_tgt_", "cfg_"))
-    def one_bucket(src_l_in, req_l_in, old_act_in, rid, ci, val, nz,
-                   lam_, g_, n_tgt_: int, cfg_: ALSConfig):
-        def body(src_l, req_l, old_l, rid_l, ci_l, val_l, nz_l):
-            # (a) routed exchange: only referenced rows cross the wire
-            cache = _exchange_local(src_l.astype(sdt), req_l, axis, n_dev, m)
-            # (b) distributed Gram: per-shard partial + rank x rank psum
-            if cfg_.feedback == "implicit":
-                XtX = jnp.einsum("nd,ne->de", src_l.astype(sdt),
-                                 src_l.astype(sdt),
-                                 preferred_element_type=sdt,
-                                 precision=_exact_prec(sdt))
-                XtX = jax.lax.psum(XtX, axis) + lam_ * jnp.eye(d, dtype=sdt)
-                rhs_init = None
-                if cfg_.use_global_bias:
-                    s = jnp.sum(src_l.astype(sdt), axis=0)
-                    rhs_init = -g_ * jax.lax.psum(s, axis)
-            else:
-                XtX = jnp.zeros((1, 1), sdt)
-                rhs_init = None
-            # (c) device-local batched solve (exact single-device kernel)
-            bucket = RowBucket(rid_l, ci_l, val_l, nz_l)
-            ids = jnp.minimum(rid_l, n_tgt_ - 1)
-            valid = rid_l < n_tgt_
-            x_init = old_l[ids]
-            y, le = _solve_one_bucket(cache, None, XtX, rhs_init, bucket,
-                                      x_init, lam_, g_, cfg_, sdt)
-            y = jnp.where(valid[:, None], y, 0.0)
-            return y.astype(dtype), jax.lax.psum(
-                jnp.sum(jnp.where(valid, le, 0.0)), axis)
+    # one exchange per sweep: only the referenced factor rows cross the wire
+    cache = _get_exchange_fn(mesh, axis, n_dev, m)(src_sh, req_sh)
 
-        fn = jax.shard_map(
-            body, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(), P(axis), P(axis), P(axis),
-                      P(axis)),
-            out_specs=(P(axis), P()), check_vma=False)
-        return fn(src_l_in, req_l_in, old_act_in, rid, ci, val, nz)
-
+    bucket_fn = _get_bucket_fn(mesh, axis, cfg, n_tgt, has_rhs0,
+                               str(jnp.dtype(sdt)), str(jnp.dtype(dtype)))
     result_act = jnp.zeros((n_tgt + 1, d), dtype=dtype)
     loss = jnp.zeros((), sdt)
     for b in stage.buckets:
-        y, le = one_bucket(src_sh, req_sh, old_act, b.row_ids, b.col_idx,
-                           b.values, b.nnz, lam, g, n_tgt_=n_tgt, cfg_=cfg)
+        y, le = bucket_fn(cache, XtX, rhs_init, old_act, b.row_ids,
+                          b.col_idx, b.values, b.nnz, lam, g)
         result_act = result_act.at[b.row_ids].set(y)
         loss = loss + le
     tgt_new = _assemble_target(result_act[:n_tgt], n_tgt, cfg, dtype)

@@ -96,8 +96,11 @@ def make_multihost_mesh(axis_names: Tuple[str, str] = DATA_AXES) -> Mesh:
 
 
 def is_multihost(mesh: Optional[Mesh]) -> bool:
-    return (mesh is not None and DATA_AXES[0] in mesh.axis_names
-            and jax.process_count() > 1)
+    """True for any ``("dcn", "ici")``-style mesh — including in a single
+    process (where :func:`distributed_bucket_rows` degenerates cleanly), so
+    a pod program can be dry-run locally without a KeyError on the missing
+    "data" axis."""
+    return mesh is not None and DATA_AXES[0] in mesh.axis_names
 
 
 def data_spec(mesh: Mesh) -> P:

@@ -83,6 +83,11 @@ def sharded_top_product(
         raise ValueError(f"k={k} > items-per-shard={n_pad // n_dev}")
     yp = y if n_pad == n_items else np.concatenate(
         [y, np.zeros((y.shape[0], n_pad - n_items), y.dtype)], axis=1)
+    if exclude_mask is None and nr is None and n_pad > n_items:
+        # pack_mask_bits only marks columns beyond a caller-supplied true
+        # width; with no mask source the zero-padded columns would score
+        # glob_mean and could win the top-k (returning out-of-range ids)
+        exclude_mask = np.zeros((n_items,), bool)
 
     out_i = np.empty((n_users, k), np.int32)
     out_s = np.empty((n_users, k), np.float32)
@@ -97,24 +102,29 @@ def sharded_top_product(
         lambda: jax.device_put(jnp.asarray(yp),
                                NamedSharding(mesh, P(None, axis))),
         extra=(y.shape, n_pad, fp, mesh, axis))
-    for s in range(0, n_users, user_chunk):
-        e = min(s + user_chunk, n_users)
+    chunks = [(s, min(s + user_chunk, n_users))
+              for s in range(0, n_users, user_chunk)]
 
-        def stage_bits(s=s, e=e):
-            bits = pack_mask_bits(n_pad, csr=nr, rows=slice(s, e),
-                                  exclude_mask=exclude_mask, n_rows=e - s)
-            return jax.device_put(jnp.asarray(bits),
-                                  NamedSharding(mesh, P(None, axis)))
+    def stage_bits_one(s, e):
+        bits = pack_mask_bits(n_pad, csr=nr, rows=slice(s, e),
+                              exclude_mask=exclude_mask, n_rows=e - s)
+        return jax.device_put(jnp.asarray(bits),
+                              NamedSharding(mesh, P(None, axis)))
 
-        if nr is not None:
-            # masks are usually the (static) training interactions: cache
-            # the packed+staged bitmask chunk (host packbits alone costs
-            # ~0.5 s per 8k-user chunk at 32k items)
-            ekey = None if exclude_mask is None else exclude_mask.tobytes()
-            bits_d = staged_cached("sharded_topk_bits", nr, stage_bits,
-                                   extra=(n_pad, s, e, ekey, mesh, axis))
-        else:
-            bits_d = stage_bits()
+    if nr is not None:
+        # masks are usually the (static) training interactions: cache the
+        # packed+staged bitmask chunks as ONE entry (host packbits alone
+        # costs ~0.5 s per 8k-user chunk at 32k items; per-chunk entries
+        # would flood the small shared LRU and evict each other)
+        ekey = None if exclude_mask is None else exclude_mask.tobytes()
+        all_bits = staged_cached(
+            "sharded_topk_bits", nr,
+            lambda: [stage_bits_one(s, e) for s, e in chunks],
+            extra=(n_pad, user_chunk, ekey, mesh, axis))
+    else:
+        all_bits = [stage_bits_one(s, e) for s, e in chunks]
+
+    for (s, e), bits_d in zip(chunks, all_bits):
         si, ii = sharded_top_k(mesh, jnp.asarray(x[s:e]), y_dev, k,
                                mask_bits=bits_d,
                                glob_mean=glob_mean, axis=axis)

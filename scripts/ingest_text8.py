@@ -78,8 +78,9 @@ def main():
           f"{tcm.nnz * len(model.cost_history) / dt / 1e6:.1f} M "
           f"triplets/s); final loss {model.cost_history[-1]:.4f}")
     w = np.asarray(emb) + np.asarray(model.components).T
-    np.save("text8_vectors.npy", w)
-    print("wrote text8_vectors.npy", w.shape)
+    out = sys.argv[5] if len(sys.argv) > 5 else "/tmp/text8_vectors.npy"
+    np.save(out, w)
+    print(f"wrote {out}", w.shape)
 
 
 if __name__ == "__main__":

@@ -288,3 +288,36 @@ def test_wrmf_model_routing_alx(ml100k_split):
     t2 = m2.transform(train)
     np.testing.assert_allclose(np.asarray(e2), np.asarray(t2),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_sharded_top_product_no_mask_padding():
+    """Regression: without any mask, zero-padded item columns (score ==
+    glob_mean) must never win the top-k (they used to return out-of-range
+    indices for users with all-negative scores)."""
+    from rsparse_tpu.parallel.topk_sharded import sharded_top_product
+    rng = np.random.default_rng(0)
+    n_u, n_i, r = 16, 300, 4          # padded to 2048 on an 8-dev mesh
+    x = -np.abs(rng.standard_normal((n_u, r))).astype(np.float32)
+    y = np.abs(rng.standard_normal((r, n_i))).astype(np.float32)
+    mesh = make_mesh((8,), ("data",), jax.devices()[:8])
+    idx, scores = sharded_top_product(mesh, x, y, 5, not_recommend=None)
+    assert idx.max() < n_i, f"padding index leaked: {idx.max()}"
+    dense = x @ y
+    expect = np.argsort(-dense, axis=1)[:, :5]
+    np.testing.assert_allclose(
+        scores, np.take_along_axis(dense, expect, 1), rtol=1e-5, atol=1e-6)
+
+
+def test_wrmf_multihost_mesh_single_process(ml100k_split):
+    """Regression: WRMF(mesh=make_multihost_mesh()) must work in a single
+    process (pod program dry-run locally) instead of KeyError: 'data'."""
+    from rsparse_tpu import WRMF
+    from rsparse_tpu.parallel.multihost import make_multihost_mesh
+    train, _ = ml100k_split
+    kw = dict(rank=6, lambda_=0.5, feedback="implicit", solver="cholesky",
+              precision="double", seed=0)
+    e1 = np.asarray(WRMF(**kw).fit_transform(train, n_iter=1,
+                                             convergence_tol=-1))
+    m = WRMF(mesh=make_multihost_mesh(), **kw)
+    e2 = np.asarray(m.fit_transform(train, n_iter=1, convergence_tol=-1))
+    np.testing.assert_allclose(e2, e1, rtol=1e-9, atol=1e-12)
