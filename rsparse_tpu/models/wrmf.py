@@ -144,9 +144,9 @@ class WRMF(MatrixFactorizationRecommender):
         if routing not in (None, "alx"):
             raise ValueError(f"unknown routing {routing!r}")
         if routing == "alx":
-            if mesh is None or "data" not in mesh.axis_names:
+            if mesh is None or not ({"data", "dcn"} & set(mesh.axis_names)):
                 raise ValueError("routing='alx' requires a mesh with a "
-                                 "'data' axis")
+                                 "'data' axis (or 'dcn'/'ici' axes)")
             if with_user_item_bias:
                 raise ValueError("routing='alx' does not support "
                                  "per-entity biases")
@@ -189,7 +189,12 @@ class WRMF(MatrixFactorizationRecommender):
     def _row_align(self) -> int:
         if self.mesh is None:
             return 8
-        n = self.mesh.shape.get("data", 1)
+        if "data" in self.mesh.axis_names:
+            n = self.mesh.shape.get("data", 1)
+        else:       # ("dcn","ici") multihost-style mesh: all devices
+            n = 1
+            for a in self.mesh.axis_names:
+                n *= self.mesh.shape[a]
         return 8 * n if 8 % n else 8
 
     @property
@@ -200,12 +205,17 @@ class WRMF(MatrixFactorizationRecommender):
     def _bucketize(self, csr, include_empty: bool, n_src: Optional[int] = None):
         if self.routing == "alx":
             # host-built buckets -> static routing plan + cache-remapped
-            # sharded buckets (parallel/alx.py); n_src = source-table rows
+            # sharded buckets (parallel/alx.py); n_src = source-table rows.
+            # On a ("dcn","ici") mesh the exchange rides both axes (the
+            # multi-host factor routing the plain all-gather path can't do).
             from ..parallel.alx import stage_alx
+            from ..parallel.multihost import DATA_AXES
+            axis = ("data" if "data" in self.mesh.axis_names
+                    else DATA_AXES)
             br = bucket_rows(csr, self.dtype, include_empty=include_empty,
                              row_align=self._row_align)
             return stage_alx(br, n_src if n_src is not None
-                             else csr.shape[1], self.mesh)
+                             else csr.shape[1], self.mesh, axis=axis)
         if self._multihost:
             # per-process bucket building: this host buckets only its own
             # contiguous row shard; shapes negotiated via tiny all-gathers

@@ -45,13 +45,42 @@ class ALXStage(NamedTuple):
     plan: RoutingPlan               # static all-to-all routing plan
     buckets: Tuple[RowBucket, ...]  # col_idx remapped to cache-local slots
     n_src_padded: int               # source rows incl. divisibility padding
+    #: mesh axis (or tuple of axes, e.g. ("dcn","ici") on a multi-host
+    #: mesh) the exchange and bucket batches ride on
+    axis: object = "data"
+
+
+def _axis_size(mesh: Mesh, axis) -> int:
+    if isinstance(axis, tuple):
+        n = 1
+        for a in axis:
+            n *= mesh.shape[a]
+        return n
+    return mesh.shape[axis]
+
+
+def _put(arr, mesh: Mesh, spec: P):
+    """Place a host/global array with ``spec`` — process-local assembly
+    when running multi-process (plain device_put cannot target
+    non-addressable devices there)."""
+    if jax.process_count() == 1:
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        return jax.device_put(arr, NamedSharding(mesh, spec))  # reshard
+    a = np.asarray(arr)
+    if spec and spec[0] is not None:     # leading axis sharded: local slice
+        n_proc = jax.process_count()
+        per = a.shape[0] // n_proc
+        a = a[jax.process_index() * per:(jax.process_index() + 1) * per]
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), a)
 
 
 def stage_alx(
     br: BucketedRows,
     n_src: int,
     mesh: Mesh,
-    axis: str = "data",
+    axis="data",
 ) -> ALXStage:
     """Build the routing plan + cache-remapped sharded buckets.
 
@@ -61,7 +90,7 @@ def stage_alx(
     slots (valid only on the owning device — they are meaningless outside
     the shard_map region).
     """
-    n_dev = mesh.shape[axis]
+    n_dev = _axis_size(mesh, axis)
     n_src_p = -(-n_src // n_dev) * n_dev
 
     # per-device column-id sets: each bucket's batch is split contiguously
@@ -80,7 +109,7 @@ def stage_alx(
 
     plan, remapped = build_routing_plan(col_idx_per_device, n_src_p, n_dev)
 
-    sh = NamedSharding(mesh, P(axis))
+    spec = P(axis)
     out = []
     for bi, b in enumerate(br.buckets):
         B = b.batch
@@ -93,12 +122,12 @@ def stage_alx(
             flat = remapped[d][off:off + step * L]
             new_ci[d * step:(d + 1) * step] = flat.reshape(step, L)
         out.append(RowBucket(
-            row_ids=jax.device_put(b.row_ids, sh),
-            col_idx=jax.device_put(jnp.asarray(new_ci), sh),
-            values=jax.device_put(b.values, sh),
-            nnz=jax.device_put(b.nnz, sh),
+            row_ids=_put(np.asarray(b.row_ids), mesh, spec),
+            col_idx=_put(new_ci, mesh, spec),
+            values=_put(np.asarray(b.values), mesh, spec),
+            nnz=_put(np.asarray(b.nnz), mesh, spec),
         ))
-    return ALXStage(plan, tuple(out), n_src_p)
+    return ALXStage(plan, tuple(out), n_src_p, axis)
 
 
 def _exchange_local(src_l, req_l, axis: str, n_dev: int, m: int):
@@ -119,8 +148,8 @@ _EXCHANGE_FNS: dict = {}
 _BUCKET_FNS: dict = {}
 
 
-def _get_exchange_fn(mesh: Mesh, axis: str, n_dev: int, m: int):
-    key = (mesh, axis, n_dev, m)
+def _get_exchange_fn(mesh: Mesh, axis, n_dev: int, m: int):
+    key = (mesh, tuple(axis) if isinstance(axis, tuple) else axis, n_dev, m)
     fn = _EXCHANGE_FNS.get(key)
     if fn is None:
         def ex(src_l, req_l):
@@ -133,12 +162,13 @@ def _get_exchange_fn(mesh: Mesh, axis: str, n_dev: int, m: int):
     return fn
 
 
-def _get_bucket_fn(mesh: Mesh, axis: str, cfg: ALSConfig, n_tgt: int,
+def _get_bucket_fn(mesh: Mesh, axis, cfg: ALSConfig, n_tgt: int,
                    has_rhs0: bool, sdt_name: str, dt_name: str):
     """Per-bucket routed solve: device-local bucket kernel + psum'd loss.
     Cached per (mesh, cfg, n_tgt, dtype) — jit specializes on array shapes,
     so one entry serves every bucket shape of a fit."""
-    key = (mesh, axis, cfg, n_tgt, has_rhs0, sdt_name, dt_name)
+    axis_key = tuple(axis) if isinstance(axis, tuple) else axis
+    key = (mesh, axis_key, cfg, n_tgt, has_rhs0, sdt_name, dt_name)
     fn = _BUCKET_FNS.get(key)
     if fn is not None:
         return fn
@@ -176,7 +206,6 @@ def alx_sweep(
     lam,
     g,
     cfg: ALSConfig,
-    axis: str = "data",
 ) -> Tuple[jax.Array, jax.Array]:
     """One routed ALS half-sweep; numerically identical to
     :func:`ops.als.wrmf_sweep` on the same buckets.
@@ -197,7 +226,8 @@ def alx_sweep(
     sdt = accum_dtype(dtype)
     lam = jnp.asarray(lam, sdt)
     g = jnp.asarray(g, sdt)
-    n_dev = mesh.shape[axis]
+    axis = stage.axis
+    n_dev = _axis_size(mesh, axis)
     m = stage.plan.cache_size // n_dev
 
     # sweep-invariant pieces, computed once: active slices, full-table Gram
@@ -215,10 +245,9 @@ def alx_sweep(
         src_x = jnp.concatenate([
             src_x, jnp.zeros((stage.n_src_padded - src_x.shape[0], d),
                              src_x.dtype)], axis=0)
-    src_sh = jax.device_put(src_x, NamedSharding(mesh, P(axis)))
-    req_sh = jax.device_put(
-        stage.plan.request_ids.reshape(n_dev * n_dev, m),
-        NamedSharding(mesh, P(axis)))
+    src_sh = _put(src_x, mesh, P(axis))
+    req_sh = _put(np.asarray(stage.plan.request_ids).reshape(
+        n_dev * n_dev, m), mesh, P(axis))
 
     # one exchange per sweep: only the referenced factor rows cross the wire
     cache = _get_exchange_fn(mesh, axis, n_dev, m)(src_sh, req_sh)

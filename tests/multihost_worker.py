@@ -12,6 +12,8 @@ Usage: python multihost_worker.py <pid> <nproc> <port> <out.npz> [mode]
 in a FRESH model for the remaining iteration — the multi-host
 checkpoint-restart story (orbax multiprocess save/restore of the
 replicated fit state).
+``mode`` = "alx": fit with routing="alx" — the all-to-all factor exchange
+riding the ("dcn","ici") axes across the 2 processes.
 """
 
 import os
@@ -50,7 +52,12 @@ def main():
     assert mesh.shape == {"dcn": nproc, "ici": 2}
     kw = dict(rank=6, lambda_=0.5, feedback="implicit", solver="cholesky",
               precision="double", seed=0, mesh=mesh)
-    if mode == "ckpt":
+    if mode == "alx":
+        m = WRMF(routing="alx", **{k: v for k, v in kw.items()
+                                   if k != "solver"},
+                 solver="conjugate_gradient")
+        emb = m.fit_transform(x, n_iter=2, convergence_tol=-1)
+    elif mode == "ckpt":
         ckpt_dir = out + ".ckpt"
         m1 = WRMF(**kw)
         m1.fit_transform(x, n_iter=1, convergence_tol=-1,

@@ -124,3 +124,22 @@ def test_two_process_checkpoint_resume(tmp_path):
     a, b = np.load(out_plain), np.load(out_ckpt)
     np.testing.assert_allclose(b["emb"], a["emb"], rtol=1e-12, atol=1e-14)
     np.testing.assert_allclose(b["loss"], a["loss"], rtol=1e-12)
+
+
+def test_two_process_routing_alx(tmp_path):
+    """routing='alx' across 2 real processes: the routed exchange over
+    ('dcn','ici') must reproduce the single-process CG fit."""
+    out = str(tmp_path / "alx.npz")
+    _run_workers(2, out, mode="alx")
+    got = np.load(out)
+    from rsparse_tpu import WRMF
+    rs = np.random.RandomState(0)
+    x = sp.random(96, 80, density=0.3, random_state=rs, format="csr")
+    x.data = 1.0 + 4.0 * x.data
+    m = WRMF(rank=6, lambda_=0.5, feedback="implicit", n_hot=0,
+             solver="conjugate_gradient", precision="double", seed=0)
+    emb = m.fit_transform(x, n_iter=2, convergence_tol=-1)
+    np.testing.assert_allclose(got["emb"], np.asarray(emb),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(got["loss"], np.asarray(m.loss_history),
+                               rtol=1e-10)

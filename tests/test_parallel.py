@@ -321,3 +321,20 @@ def test_wrmf_multihost_mesh_single_process(ml100k_split):
     m = WRMF(mesh=make_multihost_mesh(), **kw)
     e2 = np.asarray(m.fit_transform(train, n_iter=1, convergence_tol=-1))
     np.testing.assert_allclose(e2, e1, rtol=1e-9, atol=1e-12)
+
+
+def test_wrmf_routing_alx_on_multihost_mesh(ml100k_split):
+    """routing='alx' over a ('dcn','ici') mesh: the factor exchange rides
+    both axes — the multi-host routing path, dry-run in one process."""
+    from rsparse_tpu import WRMF
+    from rsparse_tpu.parallel.multihost import make_multihost_mesh
+    train, _ = ml100k_split
+    kw = dict(rank=6, lambda_=0.5, feedback="implicit", seed=0,
+              solver="conjugate_gradient", precision="double", n_hot=0)
+    m1 = WRMF(**kw)
+    e1 = m1.fit_transform(train, n_iter=2, convergence_tol=-1)
+    m2 = WRMF(mesh=make_multihost_mesh(), routing="alx", **kw)
+    e2 = m2.fit_transform(train, n_iter=2, convergence_tol=-1)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2),
+                               rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(m1.loss_history, m2.loss_history, rtol=1e-8)
