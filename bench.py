@@ -473,10 +473,11 @@ def main():
         # driver config #2's solver axis: exact Cholesky vs CG at rank 128
         ("cholesky_sweep", lambda: None if quick else measure_sweep(
             csr, RANK, 3, solver="cholesky", max_elems=1 << 22)),
-        # full model path incl. the closing exact transform half-sweep
+        # full model path incl. the closing exact transform half-sweep,
+        # at the FULL problem size (the round-2 regression hid exactly in
+        # the staging/transform machinery at scale)
         ("fit_e2e", lambda: measure_fit_e2e(
-            sp.csr_matrix(csr[:8192]) if quick else
-            sp.csr_matrix(csr[:16384]), RANK)),
+            sp.csr_matrix(csr[:8192]) if quick else csr, RANK)),
         ("topk", lambda: measure_topk(sp.csr_matrix(csr[:8192]), RANK)),
         ("sharded_predict", lambda: None if quick else
             measure_sharded_predict(csr, RANK)),
