@@ -96,9 +96,14 @@ class MatrixFactorizationRecommender:
         if mesh is not None and "data" in getattr(mesh, "axis_names", ()):
             # mesh-fitted model: item axis sharded over the mesh, packed
             # bitmasks sharded by item range, O(k) candidate merge
-            # (parallel/topk_sharded.py)
+            # (parallel/topk_sharded.py).  Very large k can exceed the
+            # per-shard candidate budget — fall back to the single-device
+            # kernel there rather than failing a recall@k evaluation.
             import jax
-            if jax.process_count() == 1:
+            n_dev = mesh.shape["data"]
+            n_items_ = np.asarray(self.components).shape[1]
+            shard_cap = (-(-n_items_ // (256 * n_dev)) * 256)
+            if jax.process_count() == 1 and k <= shard_cap:
                 from ..parallel.topk_sharded import sharded_top_product
                 idx, scores = sharded_top_product(
                     mesh, user_emb,

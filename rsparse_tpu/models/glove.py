@@ -227,14 +227,13 @@ def _head_grids(X: np.ndarray, hot_ids: np.ndarray, dtype,
 
 
 def _stack_coo(coo: sp.coo_matrix, batch_size: int, dtype,
-               order: Optional[np.ndarray] = None, swap: bool = False):
+               swap: bool = False):
     n = coo.nnz
-    idx = np.arange(n) if order is None else order
     nb = -(-n // batch_size)
     pad = nb * batch_size - n
-    r = np.concatenate([coo.row[idx], np.zeros(pad, coo.row.dtype)])
-    c = np.concatenate([coo.col[idx], np.zeros(pad, coo.col.dtype)])
-    v = np.concatenate([coo.data[idx], np.ones(pad)])
+    r = np.concatenate([coo.row, np.zeros(pad, coo.row.dtype)])
+    c = np.concatenate([coo.col, np.zeros(pad, coo.col.dtype)])
+    v = np.concatenate([coo.data, np.ones(pad)])
     m = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
     if swap:
         r, c = c, r

@@ -144,9 +144,10 @@ class WRMF(MatrixFactorizationRecommender):
         if routing not in (None, "alx"):
             raise ValueError(f"unknown routing {routing!r}")
         if routing == "alx":
-            if mesh is None or not ({"data", "dcn"} & set(mesh.axis_names)):
+            ax = set(mesh.axis_names) if mesh is not None else set()
+            if mesh is None or not ("data" in ax or {"dcn", "ici"} <= ax):
                 raise ValueError("routing='alx' requires a mesh with a "
-                                 "'data' axis (or 'dcn'/'ici' axes)")
+                                 "'data' axis or both 'dcn' and 'ici'")
             if with_user_item_bias:
                 raise ValueError("routing='alx' does not support "
                                  "per-entity biases")

@@ -113,13 +113,22 @@ def _active_slices(cfg: ALSConfig, R: int):
     return slice(1, R), slice(1, R)
 
 
-def _hot_lhs(w: jax.Array, Vh: jax.Array, sdt) -> jax.Array:
+def hot_outer_table(Vh: jax.Array, sdt) -> jax.Array:
+    """(H, d*d) outer-product table for the dense-head lhs term — sweep-
+    invariant (depends only on the hot source factors), so callers build it
+    ONCE per half-sweep and pass it to every bucket solve."""
+    H, d = Vh.shape
+    Vs = Vh.astype(sdt)
+    return (Vs[:, :, None] * Vs[:, None, :]).reshape(H, d * d)
+
+
+def _hot_lhs(w: jax.Array, Vh: jax.Array, sdt, outer=None) -> jax.Array:
     """Dense-head per-entity normal-matrix term
     ``lhs_hot[b] = sum_h w[b,h] * Vh[h] Vh[h]'`` as a single MXU matmul
     against the (H, d*d) outer-product table.  w: (B, H); Vh: (H, d)."""
-    H, d = Vh.shape
-    Vs = Vh.astype(sdt)
-    outer = (Vs[:, :, None] * Vs[:, None, :]).reshape(H, d * d)
+    d = Vh.shape[1]
+    if outer is None:
+        outer = hot_outer_table(Vh, sdt)
     flat = jnp.einsum("bh,hx->bx", w.astype(sdt), outer,
                       preferred_element_type=sdt,
                       precision=_exact_prec(sdt))
@@ -140,6 +149,7 @@ def _solve_bucket_implicit(
     hot_W: Optional[jax.Array] = None,   # (B, H) dense hot confidences
     V_hot: Optional[jax.Array] = None,   # (H, d) hot source factors
     hot_scale: Optional[jax.Array] = None,  # (B,) uint8 dequant scale
+    hot_outer: Optional[jax.Array] = None,  # (H, d*d) sweep-invariant table
 ) -> Tuple[jax.Array, jax.Array]:
     """One bucket of per-entity implicit-feedback normal-equation solves.
 
@@ -229,7 +239,7 @@ def _solve_bucket_implicit(
             # B*H*d^2 FLOPs regardless of head density — profitable only
             # for narrow heads, which is why n_hot="auto" keeps exact
             # solvers at 0 and explicit head sizes are honored as-is.
-            lhs = lhs + _hot_lhs(W1, Vh, sdt)
+            lhs = lhs + _hot_lhs(W1, Vh, sdt, hot_outer)
         if cfg.solver == NNLS:
             y = batched_nnls(lhs, rhs, x_init.astype(sdt),
                              max_iter=cfg.nnls_max_iter)
@@ -268,6 +278,7 @@ def _solve_bucket_explicit(
     V_hot: Optional[jax.Array] = None,     # (H, d) hot source factors
     hot_bits: Optional[jax.Array] = None,  # (B, ceil(H/8)) presence bits
     nnz_total: Optional[jax.Array] = None,  # (B,) total row nnz (hot + cold)
+    hot_outer: Optional[jax.Array] = None,  # (H, d*d) sweep-invariant table
 ) -> Tuple[jax.Array, jax.Array]:
     """One bucket of explicit-feedback (observed-entries-only) solves.
 
@@ -339,7 +350,7 @@ def _solve_bucket_explicit(
                          precision=_exact_prec(gdt))
         if hot_W is not None:
             # observed head cells contribute v v' with unit weight
-            lhs = lhs + _hot_lhs(Mh.astype(sdt), Vh, sdt)
+            lhs = lhs + _hot_lhs(Mh.astype(sdt), Vh, sdt, hot_outer)
         lhs = lhs + lam_use[:, None, None] * jnp.eye(d, dtype=sdt)[None]
         # keep padding rows nonsingular (their solutions are discarded)
         invalid = (bucket.nnz == 0) & (lam_use == 0)
@@ -415,14 +426,17 @@ def _sweep_prepare(src, lam, g, cfg: ALSConfig, sdt):
 
 def _solve_one_bucket(src_act, x_biases, XtX, rhs_init, bucket, x_init,
                       lam, g, cfg: ALSConfig, sdt, hot_W=None, V_hot=None,
-                      hot_bits=None, nnz_total=None, hot_scale=None):
+                      hot_bits=None, nnz_total=None, hot_scale=None,
+                      hot_outer=None):
     if cfg.feedback == "implicit":
         return _solve_bucket_implicit(
             src_act, x_biases, XtX, rhs_init, bucket, x_init, lam, g, cfg,
-            sdt, hot_W=hot_W, V_hot=V_hot, hot_scale=hot_scale)
+            sdt, hot_W=hot_W, V_hot=V_hot, hot_scale=hot_scale,
+            hot_outer=hot_outer)
     return _solve_bucket_explicit(src_act, x_biases, bucket, x_init, lam,
                                   cfg, sdt, hot_W=hot_W, V_hot=V_hot,
-                                  hot_bits=hot_bits, nnz_total=nnz_total)
+                                  hot_bits=hot_bits, nnz_total=nnz_total,
+                                  hot_outer=hot_outer)
 
 
 def _src_reg_loss(src, src_cnt, lam, cfg: ALSConfig, sdt):
@@ -451,7 +465,7 @@ def _assemble_target(result_act, n_tgt, cfg: ALSConfig, dtype):
 
 def _solve_scatter(result_act, src_act, x_biases, XtX, rhs_init,
                    bucket, old_act, lam, g, n_tgt: int, cfg: ALSConfig,
-                   hot=None, V_hot=None, hot_pre=None):
+                   hot=None, V_hot=None, hot_pre=None, hot_outer=None):
     """One bucket: gather warm start, solve, scatter into the result.
     Small per-shape program — compiles once per (B, L) shape and is reused
     by every same-shape chunk (donates the result buffer).
@@ -485,7 +499,7 @@ def _solve_scatter(result_act, src_act, x_biases, XtX, rhs_init,
                               x_init, lam, g, cfg, sdt,
                               hot_W=hot_W, V_hot=V_hot,
                               hot_bits=hot_bits, nnz_total=nnz_total,
-                              hot_scale=hot_scale)
+                              hot_scale=hot_scale, hot_outer=hot_outer)
     y = jnp.where(valid[:, None], y, 0.0).astype(result_act.dtype)
     loss = jnp.sum(jnp.where(valid, le, 0.0))
     return result_act.at[bucket.row_ids].set(y), loss
@@ -529,6 +543,11 @@ def wrmf_sweep_streamed(
     old_act = tgt_old[:, tgt_sl]
     d = src_act.shape[1]
     V_hot = None if hot is None else src_act[hot.hot_ids]
+    # sweep-invariant dense-head outer table for the exact solvers (one
+    # (H, d^2) build instead of one per bucket program)
+    hot_outer = (hot_outer_table(V_hot, sdt)
+                 if (V_hot is not None and cfg.solver != CONJUGATE_GRADIENT)
+                 else None)
     result_act = jnp.zeros((n_tgt + 1, d), dtype=dtype)
     losses = []
     # with pre-gathered rows the full HotBlock never enters the per-bucket
@@ -538,7 +557,7 @@ def wrmf_sweep_streamed(
         result_act, le = _jit_solve_scatter(
             result_act, src_act, x_biases, XtX, rhs_init, bucket, old_act,
             lam, g, n_tgt, cfg, hot_arg,
-            V_hot, None if hot_rows is None else hot_rows[bi])
+            V_hot, None if hot_rows is None else hot_rows[bi], hot_outer)
         losses.append(le)
     tgt_new = _assemble_target(result_act[:n_tgt], n_tgt, cfg, dtype)
     loss = sum(losses) + _src_reg_loss(src, src_cnt, lam, cfg, sdt)
@@ -575,6 +594,9 @@ def wrmf_sweep(
     old_act = tgt_old[:, tgt_sl]
     d = src_act.shape[1]
     V_hot = None if hot is None else src_act[hot.hot_ids]
+    hot_outer = (hot_outer_table(V_hot, sdt)
+                 if (V_hot is not None and cfg.solver != CONJUGATE_GRADIENT)
+                 else None)
     hot_arg = None if hot_rows is not None else hot
     result_act = jnp.zeros((n_tgt + 1, d), dtype=dtype)
     loss = jnp.zeros((), sdt)
@@ -582,7 +604,7 @@ def wrmf_sweep(
         result_act, le = _solve_scatter(
             result_act, src_act, x_biases, XtX, rhs_init, bucket, old_act,
             lam, g, n_tgt, cfg, hot_arg, V_hot,
-            None if hot_rows is None else hot_rows[bi])
+            None if hot_rows is None else hot_rows[bi], hot_outer)
         loss = loss + le
     tgt_new = _assemble_target(result_act[:n_tgt], n_tgt, cfg, dtype)
     loss = loss + _src_reg_loss(src, src_cnt, lam, cfg, sdt)

@@ -70,6 +70,10 @@ def _put(arr, mesh: Mesh, spec: P):
     a = np.asarray(arr)
     if spec and spec[0] is not None:     # leading axis sharded: local slice
         n_proc = jax.process_count()
+        if a.shape[0] % n_proc:
+            raise ValueError(
+                f"leading axis {a.shape[0]} not divisible by "
+                f"{n_proc} processes — rows would be silently dropped")
         per = a.shape[0] // n_proc
         a = a[jax.process_index() * per:(jax.process_index() + 1) * per]
     return jax.make_array_from_process_local_data(
@@ -130,14 +134,8 @@ def stage_alx(
     return ALXStage(plan, tuple(out), n_src_p, axis)
 
 
-def _exchange_local(src_l, req_l, axis: str, n_dev: int, m: int):
-    """Inside-shard_map body of routed_factor_exchange
-    (parallel/routing.py:107-117)."""
-    want = jax.lax.all_to_all(req_l[None], axis, split_axis=1,
-                              concat_axis=0)[:, 0, :]      # (n_dev, m)
-    sliced = src_l[want]                                   # (n_dev, m, r)
-    cache = jax.lax.all_to_all(sliced, axis, split_axis=0, concat_axis=0)
-    return cache.reshape(n_dev * m, src_l.shape[1])
+from .routing import exchange_body as _exchange_local  # shared with
+# routed_factor_exchange — one body, no drift
 
 
 # Compiled-callable caches: rebuilding jitted shard_map closures inside

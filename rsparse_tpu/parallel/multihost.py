@@ -266,5 +266,9 @@ def distributed_bucket_rows(
     gnnz = int(np.asarray(
         multihost_utils.process_allgather(
             np.asarray([nnz_total], np.int64))).sum())
+    # NB: unlike the single-host builder, ``empty_rows`` here lists only
+    # THIS process's shard's empty rows (global row ids) — assembling the
+    # global list would need a ragged all-gather and no fit-path consumer
+    # reads the field; treat it as process-local metadata.
     empty = np.flatnonzero(row_nnz == 0).astype(np.int32) + row_offset
     return BucketedRows(tuple(buckets), n_rows, n_cols, gnnz, empty)

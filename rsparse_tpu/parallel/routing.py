@@ -105,18 +105,22 @@ def routed_factor_exchange(
     src_sh = jax.device_put(src, NamedSharding(mesh, P(axis)))
 
     def exchange(src_local, req_local):
-        # req_local: (n_dev, m) — what *this* device wants from each owner.
-        # First tell every owner what we want (all_to_all of requests) ...
-        want = jax.lax.all_to_all(req_local[None], axis, split_axis=1,
-                                  concat_axis=0)[:, 0, :]   # (n_dev, m)
-        # ... every owner slices its local shard for each requester ...
-        sliced = src_local[want]                            # (n_dev, m, r)
-        # ... and one all_to_all delivers the caches.
-        cache = jax.lax.all_to_all(sliced, axis, split_axis=0,
-                                   concat_axis=0)           # (n_dev, m, r)
-        return cache.reshape(n_dev * m, src_local.shape[1])
+        return exchange_body(src_local, req_local, axis, n_dev, m)
 
     fn = jax.shard_map(exchange, mesh=mesh,
                        in_specs=(P(axis), P(axis)),
                        out_specs=P(axis), check_vma=False)
     return fn(src_sh, req_sh)
+
+
+def exchange_body(src_local, req_local, axis, n_dev: int, m: int):
+    """Inside-shard_map body of the routed exchange (shared with
+    parallel/alx.py).  req_local: (n_dev, m) — what *this* device wants
+    from each owner; first an all_to_all of requests tells every owner
+    what to slice, then one all_to_all delivers the caches."""
+    want = jax.lax.all_to_all(req_local[None], axis, split_axis=1,
+                              concat_axis=0)[:, 0, :]       # (n_dev, m)
+    sliced = src_local[want]                                # (n_dev, m, r)
+    cache = jax.lax.all_to_all(sliced, axis, split_axis=0,
+                               concat_axis=0)               # (n_dev, m, r)
+    return cache.reshape(n_dev * m, src_local.shape[1])

@@ -93,10 +93,17 @@ def sharded_top_product(
     out_s = np.empty((n_users, k), np.float32)
     # content-addressed staging of the sharded item factors: predict is
     # called repeatedly against fixed components, and re-uploading the
-    # (R, n_pad) table per call costs seconds on a slow host link
+    # (R, n_pad) table per call costs seconds on a slow host link.
+    # Fingerprint without forcing a contiguous copy — components is
+    # usually an F-contiguous transpose view (see ops/topk.py).
     import zlib
     from rsparse_tpu.sparse.device import staged_cached
-    fp = zlib.adler32(np.ascontiguousarray(y))
+    if y.flags.c_contiguous:
+        fp = zlib.adler32(y)
+    elif y.flags.f_contiguous:
+        fp = zlib.adler32(y.T) ^ 0x5F5F
+    else:
+        fp = zlib.adler32(np.ascontiguousarray(y))
     y_dev = staged_cached(
         "sharded_topk_y", sp.csr_matrix((1, 1)),
         lambda: jax.device_put(jnp.asarray(yp),
@@ -121,8 +128,20 @@ def sharded_top_product(
             "sharded_topk_bits", nr,
             lambda: [stage_bits_one(s, e) for s, e in chunks],
             extra=(n_pad, user_chunk, ekey, mesh, axis))
+    elif exclude_mask is not None:
+        # row-invariant mask (padding / global excludes only): one staged
+        # (1, n_pad/8) row broadcast per chunk, cached by its content
+        one = staged_cached(
+            "sharded_topk_pad_bits", sp.csr_matrix((1, 1)),
+            lambda: jax.device_put(
+                jnp.asarray(pack_mask_bits(
+                    n_pad, exclude_mask=exclude_mask, n_rows=1)),
+                NamedSharding(mesh, P(None, axis))),
+            extra=(n_pad, exclude_mask.tobytes(), mesh, axis))
+        all_bits = [jnp.broadcast_to(one, (e - s, n_pad // 8))
+                    for s, e in chunks]
     else:
-        all_bits = [stage_bits_one(s, e) for s, e in chunks]
+        all_bits = [None] * len(chunks)
 
     for (s, e), bits_d in zip(chunks, all_bits):
         si, ii = sharded_top_k(mesh, jnp.asarray(x[s:e]), y_dev, k,

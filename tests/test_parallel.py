@@ -338,3 +338,30 @@ def test_wrmf_routing_alx_on_multihost_mesh(ml100k_split):
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2),
                                rtol=1e-6, atol=1e-10)
     np.testing.assert_allclose(m1.loss_history, m2.loss_history, rtol=1e-8)
+
+
+def test_predict_large_k_falls_back_to_single_device(ml100k_split):
+    """k beyond the per-shard candidate budget must fall back to the
+    single-device retrieval instead of raising (recall@k evaluations)."""
+    from rsparse_tpu import WRMF
+    train, cv = ml100k_split
+    mesh = make_mesh((8,), ("data",), jax.devices()[:8])
+    kw = dict(rank=6, lambda_=0.5, feedback="implicit", solver="cholesky",
+              precision="double", seed=0)
+    m1 = WRMF(**kw)
+    m1.fit_transform(train, n_iter=1, convergence_tol=-1)
+    m2 = WRMF(mesh=mesh, **kw)
+    m2.fit_transform(train, n_iter=1, convergence_tol=-1)
+    k = 500            # > 256-per-shard budget at 1682 items on 8 devices
+    p1 = m1.predict(cv, k=k)
+    p2 = m2.predict(cv, k=k)
+    assert p2.indices.shape == (cv.shape[0], k)
+    np.testing.assert_array_equal(p1.indices, p2.indices)
+
+
+def test_routing_alx_rejects_partial_dcn_mesh():
+    from rsparse_tpu import WRMF
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dcn",))
+    with pytest.raises(ValueError, match="routing='alx'"):
+        WRMF(mesh=mesh, routing="alx")
