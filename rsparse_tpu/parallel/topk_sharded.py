@@ -210,19 +210,44 @@ def _sharded_topk_fn(mesh, axis, k, shard, n_users, n_dev, is_bits, masked):
     if hit is not None:
         return hit
 
-    def local_topk(x_l, y_l, gm, m_l=None):
+    def local_pass(x_l, y_l, gm, m_l):
         # per-shard fused dot + mask + top-k (tournament formulation: one
         # pass over the shard's scores + k tiny group re-scans, vs ~40
         # bitonic passes for lax.top_k — see ops/topk.py)
         scores = jnp.dot(x_l, y_l, preferred_element_type=jnp.float32)
         if is_bits and shard % 256 == 0 and shard > max(512, 2 * k):
-            s, i = masked_top_k_bits(scores, m_l, k, glob_mean=gm)
+            return masked_top_k_bits(scores, m_l, k, glob_mean=gm)
+        scores = scores + gm
+        if m_l is not None:
+            dead = _expand_bits(m_l)[:, :shard] if is_bits else m_l
+            scores = jnp.where(dead, NEG_INF, scores)
+        return exact_top_k_tournament(scores, k)
+
+    # the tournament's k take/re-scan rounds cost O(rows) each, so SMALL
+    # row chunks win while the scan keeps the MXU busy — same measured
+    # optimum (256) as the single-device top_product (ops/topk.py)
+    ROWS = 256
+
+    def local_topk(x_l, y_l, gm, m_l=None):
+        if n_users % ROWS == 0 and n_users > ROWS:
+            xc = x_l.reshape(n_users // ROWS, ROWS, x_l.shape[1])
+            mc = (None if m_l is None
+                  else m_l.reshape(n_users // ROWS, ROWS, m_l.shape[1]))
+
+            def step(_, args):
+                xi, mi = args
+                return None, local_pass(xi, y_l, gm, mi)
+
+            if mc is None:
+                _, (s, i) = jax.lax.scan(
+                    lambda c, xi: (None, local_pass(xi, y_l, gm, None)),
+                    None, xc)
+            else:
+                _, (s, i) = jax.lax.scan(step, None, (xc, mc))
+            s = s.reshape(n_users, k)
+            i = i.reshape(n_users, k)
         else:
-            scores = scores + gm
-            if m_l is not None:
-                dead = _expand_bits(m_l)[:, :shard] if is_bits else m_l
-                scores = jnp.where(dead, NEG_INF, scores)
-            s, i = exact_top_k_tournament(scores, k)
+            s, i = local_pass(x_l, y_l, gm, m_l)
         # globalize indices: offset by this shard's item base
         base = jax.lax.axis_index(axis) * shard
         i = i.astype(jnp.int32) + base
