@@ -186,8 +186,9 @@ def measure_topk(csr, rank, k=10, user_chunk=256):
         f"item-scores/s ({n_users/dt:,.0f} users/s, masked, k={k})")
 
 
-def measure_glove(vocab=50_000, nnz=8_000_000, rank=128, seed=0):
-    """Config #4: GloVe on a text8-scale synthetic co-occurrence."""
+def measure_glove(vocab=50_000, nnz=8_000_000, rank=128, seed=0, reps=3):
+    """Config #4: GloVe on a text8-scale synthetic co-occurrence.
+    Returns sustained triplets/s."""
     import scipy.sparse as sp
     from rsparse_tpu.models.glove import GloVe
     rng = np.random.default_rng(seed)
@@ -238,7 +239,7 @@ def measure_glove(vocab=50_000, nnz=8_000_000, rank=128, seed=0):
     float(c)
     log(f"glove first epoch (compile): {time.time()-t0:.1f}s")
     times = []
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.time()
         st, c = epoch(st)
         float(c)
@@ -246,6 +247,7 @@ def measure_glove(vocab=50_000, nnz=8_000_000, rank=128, seed=0):
     dt = min(times)
     log(f"glove: {dt*1e3:.0f} ms/epoch -> {tcm.nnz/dt/1e6:.1f} M triplets/s "
         f"(vocab={vocab}, nnz={tcm.nnz}, loss/nnz {float(c)/tcm.nnz:.3f})")
+    return tcm.nnz / dt
 
 
 def measure_soft_impute(csr, rank=256):
@@ -280,9 +282,10 @@ def measure_soft_impute(csr, rank=256):
     dt = (time.time() - t0) / n
     log(f"soft_impute rank-{rank}: {dt*1e3:.0f} ms/iter "
         f"({csr.nnz} nnz, loss {final/max(csr.nnz,1):.4f})")
+    return 1.0 / dt       # iters/s (bigger = better, like every ratio here)
 
 
-def measure_rankmf(csr, rank=128):
+def measure_rankmf(csr, rank=128, n_iter=8, mesh=None):
     """Config #5: RankMF WARP pairwise updates/s.
 
     The model returns device-resident embeddings (identity features); the
@@ -294,21 +297,24 @@ def measure_rankmf(csr, rank=128):
     # need a large rate to move at all — 0.05 leaves AUC ~0.51 at this
     # update budget, 0.5 reaches ~0.8+ (tests/test_fm_rankmf.py gate)
     m = RankMF(rank=rank, learning_rate=0.5, loss="warp", seed=0,
-               batch_size=8192, max_negative_samples=20)
+               batch_size=8192, max_negative_samples=20, mesh=mesh)
     t0 = time.time()
     jax.block_until_ready(m.partial_fit_transform(csr, n_iter=1))
     log(f"rankmf first pass (compile): {time.time()-t0:.1f}s")
-    n_updates = 8 * csr.shape[0]
+    n_updates = n_iter * csr.shape[0]
     t0 = time.time()
-    jax.block_until_ready(m.partial_fit_transform(csr, n_iter=8))
+    jax.block_until_ready(m.partial_fit_transform(csr, n_iter=n_iter))
     dt = time.time() - t0
     log(f"rankmf warp: {n_updates/dt:,.0f} pairwise updates/s "
         f"(AUC~{m.auc_history[-1]:.3f})")
+    return n_updates / dt
 
 
-def measure_ftrl_fm(n_rows=100_000, n_feat=10_000, nnz_per_row=32, seed=0):
+def measure_ftrl_fm(n_rows=100_000, n_feat=10_000, nnz_per_row=32, seed=0,
+                    reps=3, families=("ftrl", "fm")):
     """FTRL / FM online-learning rows/s on a synthetic CSR problem
-    (reference-scale: test-ftrl.R uses 5k x 1k; this is 20x that)."""
+    (reference-scale: test-ftrl.R uses 5k x 1k; this is 20x that).
+    Returns {"ftrl": rows/s, "fm": rows/s}."""
     from rsparse_tpu.models.ftrl import FTRL
     from rsparse_tpu.models.fm import FactorizationMachine
     rng = np.random.default_rng(seed)
@@ -319,26 +325,37 @@ def measure_ftrl_fm(n_rows=100_000, n_feat=10_000, nnz_per_row=32, seed=0):
     x.sum_duplicates()
     truth = (np.asarray(x[:, :64].sum(axis=1)).ravel() > 0).astype(np.float64)
 
-    for name, m in [
-        ("ftrl", FTRL(learning_rate=0.1, lambda_=1.0)),
-        ("fm", FactorizationMachine(rank=8, learning_rate_w=0.2)),
-    ]:
+    out = {}
+    models = {"ftrl": lambda: FTRL(learning_rate=0.1, lambda_=1.0),
+              "fm": lambda: FactorizationMachine(rank=8,
+                                                 learning_rate_w=0.2)}
+    for name in families:
+        m = models[name]()
         t0 = time.time()
         m.partial_fit(x, truth)
         log(f"{name} first pass (compile): {time.time()-t0:.1f}s")
         t0 = time.time()
-        n = 3
-        for _ in range(n):
+        for _ in range(reps):
             m.partial_fit(x, truth)
-        dt = (time.time() - t0) / n
+        dt = (time.time() - t0) / reps
         acc = float(((m.predict(x) > 0.5) == truth).mean())
         log(f"{name}: {n_rows/dt:,.0f} rows/s "
             f"({x.nnz} nnz, train acc {acc:.3f})")
+        out[name] = n_rows / dt
+    return out
+
+
+# quality gates: ~90% of the measured bench values (NDCG 0.3465 /
+# MAP 0.4120, BENCH_r03) — a regression below these marks the bench run
+# as failing quality (``quality_ok: 0`` in the output JSON)
+QUALITY_GATE_NDCG = 0.31
+QUALITY_GATE_MAP = 0.37
 
 
 def measure_quality_ml100k():
     """Driver config #1 quality gate: WRMF implicit CG rank 10 on the
-    bundled real ML-100k, NDCG@10 / MAP@10 on held-out interactions."""
+    bundled real ML-100k, NDCG@10 / MAP@10 on held-out interactions.
+    Returns (ndcg, map, ok)."""
     import rsparse_tpu as rt
     x = rt.load_movielens100k()
     rng = np.random.default_rng(0)
@@ -350,8 +367,43 @@ def measure_quality_ml100k():
     preds = model.predict(train, k=10, not_recommend=train)
     ndcg = float(np.nanmean(rt.ndcg_k(preds.indices, test)))
     mapk = float(np.nanmean(rt.ap_k(preds.indices, test)))
+    ok = ndcg > QUALITY_GATE_NDCG and mapk > QUALITY_GATE_MAP
     log(f"ml100k quality (rank-10 implicit CG, {time.time()-t0:.1f}s): "
-        f"NDCG@10={ndcg:.4f} MAP@10={mapk:.4f}")
+        f"NDCG@10={ndcg:.4f} MAP@10={mapk:.4f} "
+        f"(gates {QUALITY_GATE_NDCG}/{QUALITY_GATE_MAP}: "
+        f"{'ok' if ok else 'FAIL'})")
+    return ndcg, mapk, ok
+
+
+def measure_linear_flow(csr, rank=256, cv_users=16_384):
+    """Config #3: Linear-Flow rank-256 on the ML-20M-shaped synthetic —
+    full closed-form fit (soft-impute right-singular-vectors + two SpMMs +
+    ridge solve) and a 5-point ``cross_validate_lambda`` sweep with warm
+    lhs/rhs reuse.  Returns {"fit_s": ..., "cv_s": ..., "per_lambda_s": ...}.
+    """
+    from rsparse_tpu.models.linear_flow import LinearFlow
+    from rsparse_tpu.utils.split import train_test_split
+
+    m = LinearFlow(rank=rank, lambda_=1.0, precision="float32", seed=0)
+    t0 = time.time()
+    xv = m.fit_transform(csr, n_iter=10)
+    assert np.isfinite(float(np.asarray(xv).sum()))   # force the chain
+    fit_s = time.time() - t0
+    log(f"linear_flow rank-{rank} fit_transform ({csr.shape[0]} users, "
+        f"{csr.nnz} nnz): {fit_s:.1f}s")
+
+    sub = sp.csr_matrix(csr[:cv_users])
+    rng = np.random.default_rng(0)
+    tr, te = train_test_split(sub, 0.5, rng)
+    m2 = LinearFlow(rank=rank, precision="float32", seed=0)
+    t0 = time.time()
+    res = m2.cross_validate_lambda(sub, tr, te, lambda_="auto@5",
+                                   metric="map@10", n_iter=10)
+    cv_s = time.time() - t0
+    best = max(r["score"] for r in res)
+    log(f"linear_flow cross_validate_lambda (5 lambdas, {cv_users} users): "
+        f"{cv_s:.1f}s total, best map@10={best:.4f}")
+    return {"fit_s": fit_s, "cv_s": cv_s, "per_lambda_s": cv_s / 5}
 
 
 def measure_fit_e2e(csr, rank):
@@ -445,60 +497,122 @@ _BASELINE_STORE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BASELINE_CPU.json")
 
 
-def cpu_baseline_subprocess(n_runs: int = 3):
-    """Measure CPU user-updates/s in fresh subprocesses (jax.config platform
-    switch — env vars are overridden by the image's sitecustomize).
+# Per-family CPU probe snippets.  Same code on XLA-CPU, sized favorably to
+# the CPU (smaller, cache-friendlier problems; the per-unit metric is
+# size-insensitive at these scales).  Each prints ``CPU_VAL <rate>``.
+CPU_PROBES = {
+    "wrmf": (
+        "csr = bench.synth_ml20m_like(n_users=16384, n_items=bench.N_ITEMS)\n"
+        "v = bench.measure_sweep(csr, bench.RANK, 2, "
+        "compute_dtype='float32')\n"),
+    "glove": "v = bench.measure_glove(vocab=20_000, nnz=2_000_000, reps=2)\n",
+    "rankmf": (
+        "csr = bench.synth_ml20m_like(n_users=8192, n_items=8192)\n"
+        "v = bench.measure_rankmf(csr.tocsr(), n_iter=2)\n"),
+    "ftrl": ("v = bench.measure_ftrl_fm(n_rows=50_000, reps=2, "
+             "families=('ftrl',))['ftrl']\n"),
+    "fm": ("v = bench.measure_ftrl_fm(n_rows=50_000, reps=2, "
+           "families=('fm',))['fm']\n"),
+}
+
+
+def cpu_baseline_subprocess(family: str = "wrmf", n_runs: int = 3):
+    """Measure a family's CPU rate in fresh subprocesses (jax.config
+    platform switch — env vars are overridden by the image's sitecustomize).
 
     Runs ``n_runs`` times and keeps the MAX (most favorable to the CPU):
     the container shares the box, and single-run numbers swung 2.6x
     between rounds (r01: 8,234 vs r02: 3,131 on identical code).  The best
-    observed baseline is persisted to BASELINE_CPU.json so the speedup
-    denominator can only tighten, never flatter, across rounds."""
+    observed baseline per family is persisted to BASELINE_CPU.json so the
+    speedup denominator can only tighten, never flatter, across rounds.
+
+    NOTE this is a PROXY baseline: R is not installed in the image, so the
+    reference itself cannot run; the denominator is our own JAX code on
+    XLA-CPU, linearly extrapolated to 16 threads by the caller."""
     code = (
         "import sys; sys.path.insert(0, %r)\n"
         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
-        "import bench\n"
-        "csr = bench.synth_ml20m_like(n_users=16384, n_items=bench.N_ITEMS)\n"
-        "ups = bench.measure_sweep(csr, bench.RANK, 2, "
-        "compute_dtype='float32')\n"
-        "print('CPU_UPS', ups)\n" % os.path.dirname(os.path.abspath(__file__))
-    )
+        "import bench\n" % os.path.dirname(os.path.abspath(__file__))
+    ) + CPU_PROBES[family] + "print('CPU_VAL', v)\n"
     runs = []
     for i in range(n_runs):
         try:
             out = subprocess.run([sys.executable, "-c", code],
                                  capture_output=True, text=True, timeout=1800)
             for line in out.stdout.splitlines():
-                if line.startswith("CPU_UPS"):
+                if line.startswith("CPU_VAL"):
                     runs.append(float(line.split()[1]))
                     break
             else:
-                log(f"cpu baseline run {i}: no output;",
+                log(f"cpu {family} baseline run {i}: no output;",
                     out.stderr[-1000:])
         except Exception as e:  # noqa: BLE001
-            log(f"cpu baseline run {i} error:", e)
+            log(f"cpu {family} baseline run {i} error:", e)
     if not runs:
         return None
     best = max(runs)
-    log(f"cpu baseline runs: {[f'{r:,.0f}' for r in runs]} -> max {best:,.0f}")
+    log(f"cpu {family} baseline runs: {[f'{r:,.0f}' for r in runs]} "
+        f"-> max {best:,.0f}")
     try:
         stored = {}
         if os.path.exists(_BASELINE_STORE):
             with open(_BASELINE_STORE) as f:
                 stored = json.load(f)
-        if best > stored.get("cpu_updates_per_s", 0):
-            stored = {"cpu_updates_per_s": best, "runs": runs,
-                      "cores": os.cpu_count()}
+        fams = stored.setdefault("families", {})
+        # migrate the round-3 single-metric layout
+        if "cpu_updates_per_s" in stored and "wrmf" not in fams:
+            fams["wrmf"] = {"value": stored["cpu_updates_per_s"],
+                            "runs": stored.get("runs", []),
+                            "cores": stored.get("cores")}
+        if best > fams.get(family, {}).get("value", 0):
+            fams[family] = {"value": best, "runs": runs,
+                            "cores": os.cpu_count()}
+            if family == "wrmf":
+                stored["cpu_updates_per_s"] = best   # keep legacy key fresh
             with open(_BASELINE_STORE, "w") as f:
                 json.dump(stored, f)
         else:
-            log(f"using stored best-known baseline "
-                f"{stored['cpu_updates_per_s']:,.0f} "
-                f"(this round's max {best:,.0f})")
-        best = stored["cpu_updates_per_s"]
+            log(f"using stored best-known {family} baseline "
+                f"{fams[family]['value']:,.0f} (this round's {best:,.0f})")
+        best = fams[family]["value"]
     except Exception as e:  # noqa: BLE001
         log("baseline store error:", e)
     return best
+
+
+def _vs16(tpu_value, cpu_value):
+    """Speedup vs the 16-thread-extrapolated CPU proxy (linear scaling
+    from the container's cores — optimistic for the CPU)."""
+    if not tpu_value or not cpu_value:
+        return None
+    ncpu = os.cpu_count() or 1
+    cpu16 = cpu_value * BASELINE_THREADS / min(ncpu, BASELINE_THREADS)
+    return tpu_value / cpu16
+
+
+def measure_scaling_virtual():
+    """Functional-relative scaling curve on 1/2/4/8 virtual CPU devices
+    (scripts/scaling_bench.py --cpu).  NOT wall-clock-meaningful on an
+    oversubscribed shared host — recorded as the measured precursor to the
+    BASELINE.md >=80%-at-2-hosts target, which needs real multi-chip
+    hardware this environment does not provide."""
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "scaling_bench.py")
+    try:
+        out = subprocess.run(
+            [sys.executable, script, "--cpu", "--devices", "1", "2", "4",
+             "8", "--users", "8192", "--items", "4096"],
+            capture_output=True, text=True, timeout=3600)
+        rows = []
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                rows.append(json.loads(line))
+        log("scaling (virtual cpu):", rows)
+        return rows
+    except Exception as e:  # noqa: BLE001
+        log("scaling bench failed:", e)
+        return None
 
 
 def main():
@@ -508,6 +622,30 @@ def main():
     log(f"problem: {csr.shape} nnz={csr.nnz}")
     ups = measure_sweep(csr, RANK, 3 if quick else REPS,
                         n_hot=512 if quick else N_HOT)
+    tpu = {"wrmf": ups}
+    quality = None
+    lf = None
+
+    def run_glove():
+        tpu["glove"] = measure_glove()
+
+    def run_rankmf():
+        tpu["rankmf"] = measure_rankmf(sp.csr_matrix(csr[:16384]))
+
+    def run_ftrl_fm():
+        tpu.update(measure_ftrl_fm())
+
+    def run_soft_impute():
+        tpu["soft_impute"] = measure_soft_impute(sp.csr_matrix(csr[:16384]))
+
+    def run_quality():
+        nonlocal quality
+        quality = measure_quality_ml100k()
+
+    def run_linear_flow():
+        nonlocal lf
+        lf = measure_linear_flow(csr)
+
     for name, fn in [
         ("explicit_sweep", lambda: None if quick else measure_sweep(
             csr, RANK, 5, n_hot=N_HOT, feedback="explicit")),
@@ -522,36 +660,72 @@ def main():
         ("topk", lambda: measure_topk(sp.csr_matrix(csr[:8192]), RANK)),
         ("sharded_predict", lambda: None if quick else
             measure_sharded_predict(csr, RANK)),
-        ("glove", lambda: None if quick else measure_glove()),
-        ("soft_impute", lambda: None if quick else measure_soft_impute(
-            sp.csr_matrix(csr[:16384]))),
-        ("rankmf", lambda: None if quick else measure_rankmf(
-            sp.csr_matrix(csr[:16384]))),
-        ("ftrl_fm", lambda: None if quick else measure_ftrl_fm()),
-        ("quality", lambda: None if quick else measure_quality_ml100k()),
+        ("glove", lambda: None if quick else run_glove()),
+        ("linear_flow", lambda: None if quick else run_linear_flow()),
+        ("soft_impute", lambda: None if quick else run_soft_impute()),
+        ("rankmf", lambda: None if quick else run_rankmf()),
+        ("ftrl_fm", lambda: None if quick else run_ftrl_fm()),
+        ("quality", lambda: None if quick else run_quality()),
     ]:
         try:
             fn()
         except Exception as e:  # noqa: BLE001
             log(f"{name} bench failed:", e)
 
-    vs = float("nan")
+    families = {}
+    scaling = None
     if not quick:
-        cpu_ups = cpu_baseline_subprocess()
-        if cpu_ups:
-            ncpu = os.cpu_count() or 1
-            cpu16 = cpu_ups * BASELINE_THREADS / min(ncpu, BASELINE_THREADS)
-            vs = ups / cpu16
-            log(f"cpu baseline: {cpu_ups:,.0f} updates/s on {ncpu} cores "
-                f"-> {cpu16:,.0f} @ {BASELINE_THREADS}-thread equivalent "
-                f"-> speedup {vs:.1f}x")
+        units = {"wrmf": "user-updates/s", "glove": "triplets/s",
+                 "rankmf": "pairwise-updates/s", "ftrl": "rows/s",
+                 "fm": "rows/s"}
+        for fam in ("wrmf", "glove", "rankmf", "ftrl", "fm"):
+            if fam not in tpu:
+                continue
+            cpu_v = cpu_baseline_subprocess(
+                fam, n_runs=3 if fam == "wrmf" else 2)
+            r = _vs16(tpu[fam], cpu_v)
+            families[fam] = {
+                "value": round(tpu[fam]), "unit": units[fam],
+                "vs_baseline": None if r is None else round(r, 2)}
+            if r is not None:
+                log(f"{fam}: {tpu[fam]:,.0f} {units[fam]} "
+                    f"= {r:.1f}x the 16-thread CPU proxy")
+        if "soft_impute" in tpu:
+            families["soft_impute"] = {
+                "value": round(tpu["soft_impute"], 2), "unit": "iters/s",
+                "vs_baseline": None}
+        scaling = measure_scaling_virtual()
 
-    print(json.dumps({
+    vs = families.get("wrmf", {}).get("vs_baseline")
+    out = {
         "metric": "wrmf_implicit_user_updates_per_s_chip_rank128",
         "value": round(ups),
         "unit": "updates/s",
-        "vs_baseline": None if vs != vs else round(vs, 2),
-    }), flush=True)
+        "vs_baseline": vs,
+        # 1 = quality gates passed (or not run in --quick); 0 = REGRESSION
+        "quality_ok": 1 if (quality is None or quality[2]) else 0,
+        "extra": {
+            "families": families,
+            "linear_flow": lf,
+            "quality_ml100k": None if quality is None else {
+                "ndcg10": round(quality[0], 4), "map10": round(quality[1], 4),
+                "gates": [QUALITY_GATE_NDCG, QUALITY_GATE_MAP]},
+            "scaling_virtual_cpu": scaling,
+            "notes": [
+                "vs_baseline is a PROXY: R absent from image, so baseline "
+                "= same JAX code on XLA-CPU x linear 16-thread "
+                "extrapolation (optimistic for CPU); best-of-runs "
+                "persisted in BASELINE_CPU.json",
+                "ML-20M itself unavailable (zero-egress image); problems "
+                "are ML-20M-shaped synthetics; quality is gated on the "
+                "bundled real ML-100k",
+                "scaling_virtual_cpu is functional-relative on "
+                "oversubscribed virtual CPU devices, not wall-clock "
+                "scaling; real multi-chip hardware is unavailable",
+            ],
+        },
+    }
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -25,25 +25,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import resolve_dtype
+from ..parallel.sgd_sharded import (
+    DirectOps, ShardedOps, mesh_table_axes, replicate_on, shard_table)
 from ..sparse.device import bucket_rows_cached
 
 CLIP_VALUE = 100.0
+_DIRECT = DirectOps()
 
 
-@partial(jax.jit, static_argnames=("family", "intercept", "do_update"),
-         donate_argnums=(0, 1, 2, 3, 4, 5))
-def _fm_block(w0, acc_w0, w, v, acc_w, acc_v, col_idx, values, mask, y,
-              sample_w, lr_w, lr_v, lam_w, lam_v, family: int,
-              intercept: bool, do_update: bool):
+def _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v, col_idx, values,
+                   mask, y, sample_w, lr_w, lr_v, lam_w, lam_v, family: int,
+                   intercept: bool, do_update: bool):
     """One padded row-block of FM predict (+optional update).
 
-    w: (F+1,), v: (F+1, r) with a padding slot at index F.
+    w: (F+1,), v: (F+1, r) with a padding slot at index F.  Table access
+    goes through ``ops`` (parallel/sgd_sharded.py): the same kernel runs
+    single-device and with (w, v, acc_w, acc_v) row-sharded under
+    shard_map; (w0, acc_w0) are scalars, updated replicated.
     """
     x = jnp.where(mask, values, 0.0)                    # (B, L)
-    wg = w[col_idx]                                     # (B, L)
-    vg = v[col_idx]                                     # (B, L, r)
+    wg, vg = ops.gather_many([(w, col_idx), (v, col_idx)])  # (B,L),(B,L,r)
     vx = vg * x[..., None]                              # (B, L, r)
     s1 = jnp.sum(vx, axis=1)                            # (B, r)
     s2 = jnp.sum(vx * vx, axis=1)
@@ -69,18 +73,61 @@ def _fm_block(w0, acc_w0, w, v, acc_w, acc_v, col_idx, values, mask, y,
 
     g_w = jnp.clip(x * dL[:, None] + 2.0 * lam_w, -CLIP_VALUE, CLIP_VALUE)
     g_w = jnp.where(mask, g_w, 0.0)
-    acc_w = acc_w.at[col_idx].add(g_w * g_w)
-    w = w.at[col_idx].add(-lr_w * g_w / jnp.sqrt(acc_w[col_idx]))
-
     # grad_v_j = dL * x_j * (s1 - v_j x_j) + 2 lambda_v v_j
     g_v = (dL[:, None, None] * x[..., None] * (s1[:, None, :] - vx)
            + 2.0 * lam_v * vg)
     g_v = jnp.clip(g_v, -CLIP_VALUE, CLIP_VALUE)
     g_v = jnp.where(mask[..., None], g_v, 0.0)
-    acc_v = acc_v.at[col_idx].add(g_v * g_v)
-    v = v.at[col_idx].add(-lr_v * g_v / jnp.sqrt(acc_v[col_idx]))
+
+    # accumulator-first AdaGrad: scatter squared grads, then re-gather the
+    # updated accumulators (duplicate features in a block see the summed
+    # accumulator, matching the single-device .at[].add-then-index order)
+    acc_w = ops.scatter_add(acc_w, col_idx, g_w * g_w)
+    acc_v = ops.scatter_add(acc_v, col_idx, g_v * g_v)
+    aw, av = ops.gather_many([(acc_w, col_idx), (acc_v, col_idx)])
+    w = ops.scatter_add(w, col_idx, -lr_w * g_w / jnp.sqrt(aw))
+    v = ops.scatter_add(v, col_idx, -lr_v * g_v / jnp.sqrt(av))
 
     return w0, acc_w0, w, v, acc_w, acc_v, y_hat
+
+
+@partial(jax.jit, static_argnames=("family", "intercept", "do_update"),
+         donate_argnums=(0, 1, 2, 3, 4, 5))
+def _fm_block(w0, acc_w0, w, v, acc_w, acc_v, col_idx, values, mask, y,
+              sample_w, lr_w, lr_v, lam_w, lam_v, family: int,
+              intercept: bool, do_update: bool):
+    return _fm_block_impl(_DIRECT, w0, acc_w0, w, v, acc_w, acc_v, col_idx,
+                          values, mask, y, sample_w, lr_w, lr_v, lam_w,
+                          lam_v, family, intercept, do_update)
+
+
+_SHARDED_FNS: dict = {}
+
+
+def _sharded_fm_fn(mesh: Mesh, family: int, intercept: bool,
+                   do_update: bool):
+    key = (mesh, family, intercept, do_update)
+    fn = _SHARDED_FNS.get(key)
+    if fn is not None:
+        return fn
+    axes = mesh_table_axes(mesh)
+    ops = ShardedOps(axes)
+    tab, rep = P(axes), P()
+
+    def body(w0, acc_w0, w, v, acc_w, acc_v, *rest):
+        return _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v, *rest,
+                              family=family, intercept=intercept,
+                              do_update=do_update)
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(rep, rep, tab, tab, tab, tab) + (rep,) * 9,
+        out_specs=(rep, rep, tab, tab, tab, tab, rep), check_vma=False),
+        donate_argnums=(0, 1, 2, 3, 4, 5))
+    _SHARDED_FNS[key] = fn
+    if len(_SHARDED_FNS) > 16:
+        _SHARDED_FNS.pop(next(iter(_SHARDED_FNS)))
+    return fn
 
 
 class FactorizationMachine:
@@ -97,6 +144,7 @@ class FactorizationMachine:
         learning_rate_v: Optional[float] = None,
         precision: str = "float32",
         seed: Optional[int] = None,
+        mesh: Optional[Mesh] = None,
     ):
         if family not in ("binomial", "gaussian"):
             raise ValueError("family must be 'binomial' or 'gaussian'")
@@ -117,6 +165,12 @@ class FactorizationMachine:
         self.dtype = resolve_dtype(precision)
         self._rng = np.random.default_rng(seed)
         self.n_features: Optional[int] = None
+        #: device mesh: when set, (w, v) and their AdaGrad accumulators are
+        #: row-sharded over the mesh's data axes — BASELINE config #5's
+        #: "factor tables row-sharded" requirement; replaces the
+        #: reference's hogwild shared tables
+        #: (src/factorization_machine.cpp:124-127).
+        self.mesh = mesh
 
     def _ensure_state(self, n_features: int):
         if self.n_features is None:
@@ -131,6 +185,13 @@ class FactorizationMachine:
                 * 0.001, self.dtype)
             self.acc_w = jnp.ones((n_features + 1,), self.dtype)
             self.acc_v = jnp.ones((n_features + 1, self.rank), self.dtype)
+            if self.mesh is not None:
+                self.w0, self.acc_w0 = replicate_on(
+                    self.mesh, (self.w0, self.acc_w0))
+                self.w = shard_table(self.w, self.mesh)
+                self.v = shard_table(self.v, self.mesh)
+                self.acc_w = shard_table(self.acc_w, self.mesh)
+                self.acc_v = shard_table(self.acc_v, self.mesh)
         elif n_features != self.n_features:
             raise ValueError("feature count mismatch with fitted model")
 
@@ -159,9 +220,18 @@ class FactorizationMachine:
                          max_elems=1 << 20)
         yd = jnp.asarray(y, self.dtype)
         wd = jnp.asarray(weights, self.dtype)
+        if self.mesh is not None:
+            step = _sharded_fm_fn(self.mesh, self.family_code,
+                                  self.intercept, do_update)
+            yd, wd = replicate_on(self.mesh, (yd, wd))
+        else:
+            step = partial(_fm_block, family=self.family_code,
+                           intercept=self.intercept, do_update=do_update)
         y_hat = np.empty(n_rows, np.float64)
         outs = []  # defer device->host reads so dispatches pipeline
         for b in br.buckets:
+            if self.mesh is not None:
+                b = replicate_on(self.mesh, b)
             rid = jnp.minimum(b.row_ids, n_rows - 1)
             # zero sample weight on batch-padding rows: dL carries sample_w,
             # so this kills their (otherwise unmasked) intercept/accumulator
@@ -169,13 +239,11 @@ class FactorizationMachine:
             # (src/factorization_machine.cpp:147-149)
             w_valid = jnp.where(b.row_ids < n_rows, wd[rid], 0.0)
             (self.w0, self.acc_w0, self.w, self.v, self.acc_w, self.acc_v,
-             yh) = _fm_block(
+             yh) = step(
                 self.w0, self.acc_w0, self.w, self.v, self.acc_w, self.acc_v,
                 b.col_idx, b.values, b.mask(), yd[rid], w_valid,
                 self.learning_rate_w, self.learning_rate_v,
-                self.lambda_w, self.lambda_v,
-                family=self.family_code, intercept=self.intercept,
-                do_update=do_update)
+                self.lambda_w, self.lambda_v)
             outs.append((b.row_ids, yh))
         for row_ids, yh in outs:
             rows = np.asarray(row_ids)

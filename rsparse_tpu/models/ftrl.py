@@ -24,12 +24,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import logger, resolve_dtype
+from ..parallel.sgd_sharded import (
+    DirectOps, ShardedOps, mesh_table_axes, padded_rows, replicate_on,
+    shard_table)
 from ..sparse.device import bucket_rows_cached
 
 _FAMILY_CODES = {"binomial": 1, "gaussian": 2, "poisson": 3}
 CLIP_GRAD = 1000.0
+_DIRECT = DirectOps()
 
 
 def _link(x, family: int):
@@ -48,11 +53,12 @@ def _lazy_weights(z, n, lr, decay, l1, l2):
     return jnp.where(active, w, 0.0)
 
 
-@partial(jax.jit, static_argnames=("family", "do_update"),
-         donate_argnums=(0, 1))
-def _ftrl_block(z, n, col_idx, values, mask, y, sample_w, dropout_key,
-                lr, decay, l1, l2, dropout, family: int, do_update: bool):
-    """One padded row-block update (or pure prediction)."""
+def _ftrl_block_impl(ops, z, n, col_idx, values, mask, y, sample_w,
+                     dropout_key, lr, decay, l1, l2, dropout, family: int,
+                     do_update: bool):
+    """One padded row-block update (or pure prediction).  Table access
+    goes through ``ops`` (parallel/sgd_sharded.py): the same kernel runs
+    single-device and with (z, n) row-sharded under shard_map."""
     vals = jnp.where(mask, values, 0.0)
     if do_update:
         keep = jax.random.uniform(dropout_key, vals.shape) > dropout
@@ -60,8 +66,7 @@ def _ftrl_block(z, n, col_idx, values, mask, y, sample_w, dropout_key,
         vals = jnp.where(keep, vals * scale, 0.0)
         mask = mask & keep
 
-    zg = z[col_idx]
-    ng = n[col_idx]
+    zg, ng = ops.gather_many([(z, col_idx), (n, col_idx)])
     w = jnp.where(mask, _lazy_weights(zg, ng, lr, decay, l1, l2), 0.0)
     y_hat = _link(jnp.sum(w * vals, axis=1), family)
 
@@ -73,9 +78,44 @@ def _ftrl_block(z, n, col_idx, values, mask, y, sample_w, dropout_key,
     g = jnp.where(mask, g, 0.0)
     g2 = g * g
     sigma = (jnp.sqrt(ng + g2) - jnp.sqrt(ng)) / lr
-    z = z.at[col_idx].add(jnp.where(mask, g - sigma * w, 0.0))
-    n = n.at[col_idx].add(g2)
+    z = ops.scatter_add(z, col_idx, jnp.where(mask, g - sigma * w, 0.0))
+    n = ops.scatter_add(n, col_idx, g2)
     return z, n, y_hat
+
+
+@partial(jax.jit, static_argnames=("family", "do_update"),
+         donate_argnums=(0, 1))
+def _ftrl_block(z, n, col_idx, values, mask, y, sample_w, dropout_key,
+                lr, decay, l1, l2, dropout, family: int, do_update: bool):
+    return _ftrl_block_impl(_DIRECT, z, n, col_idx, values, mask, y,
+                            sample_w, dropout_key, lr, decay, l1, l2,
+                            dropout, family, do_update)
+
+
+_SHARDED_FNS: dict = {}
+
+
+def _sharded_ftrl_fn(mesh: Mesh, family: int, do_update: bool):
+    key = (mesh, family, do_update)
+    fn = _SHARDED_FNS.get(key)
+    if fn is not None:
+        return fn
+    axes = mesh_table_axes(mesh)
+    ops = ShardedOps(axes)
+    tab, rep = P(axes), P()
+
+    def body(z, n, *rest):
+        return _ftrl_block_impl(ops, z, n, *rest, family=family,
+                                do_update=do_update)
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(tab, tab) + (rep,) * 11,
+        out_specs=(tab, tab, rep), check_vma=False),
+        donate_argnums=(0, 1))
+    _SHARDED_FNS[key] = fn
+    if len(_SHARDED_FNS) > 16:
+        _SHARDED_FNS.pop(next(iter(_SHARDED_FNS)))
+    return fn
 
 
 class FTRL:
@@ -91,6 +131,7 @@ class FTRL:
         family: str = "binomial",
         precision: str = "float32",
         seed: Optional[int] = None,
+        mesh: Optional[Mesh] = None,
     ):
         if not 0 <= dropout < 1:
             raise ValueError("dropout must be in [0, 1)")
@@ -112,6 +153,11 @@ class FTRL:
         self.n_features: Optional[int] = None
         self.z = None
         self.n = None
+        #: device mesh: when set, the (z, n) state is row-sharded over the
+        #: mesh's data axes (the TPU-native replacement for the reference's
+        #: hogwild shared state, src/FTRL.cpp:122-125); padded row blocks
+        #: are replicated.  See parallel/sgd_sharded.py.
+        self.mesh = mesh
         self._key = jax.random.PRNGKey(seed if seed is not None else 0)
 
     @property
@@ -125,8 +171,14 @@ class FTRL:
     def _ensure_state(self, n_features: int):
         if self.n_features is None:
             self.n_features = n_features
-            self.z = jnp.zeros((n_features + 1,), self.dtype)
-            self.n = jnp.zeros((n_features + 1,), self.dtype)
+            if self.mesh is not None:
+                self.z = shard_table(jnp.zeros((n_features + 1,),
+                                               self.dtype), self.mesh)
+                self.n = shard_table(jnp.zeros((n_features + 1,),
+                                               self.dtype), self.mesh)
+            else:
+                self.z = jnp.zeros((n_features + 1,), self.dtype)
+                self.n = jnp.zeros((n_features + 1,), self.dtype)
         elif n_features != self.n_features:
             raise ValueError(
                 f"feature count mismatch: model has {self.n_features}, "
@@ -149,16 +201,23 @@ class FTRL:
         y_hat = np.empty(n_rows, np.float64)
         yd = jnp.asarray(y, self.dtype)
         wd = jnp.asarray(weights, self.dtype)
+        if self.mesh is not None:
+            step = _sharded_ftrl_fn(self.mesh, self.family_code, do_update)
+            yd, wd = replicate_on(self.mesh, (yd, wd))
+        else:
+            step = partial(_ftrl_block, family=self.family_code,
+                           do_update=do_update)
         outs = []  # defer device->host reads so dispatches pipeline
         for b in br.buckets:
             self._key, sub = jax.random.split(self._key)
+            if self.mesh is not None:
+                b, sub = replicate_on(self.mesh, (b, sub))
             rid = jnp.minimum(b.row_ids, n_rows - 1)
-            self.z, self.n, yh = _ftrl_block(
+            self.z, self.n, yh = step(
                 self.z, self.n, b.col_idx, b.values, b.mask(),
                 yd[rid], wd[rid], sub,
                 self.learning_rate, self.learning_rate_decay,
-                self._l1, self._l2, self.dropout,
-                family=self.family_code, do_update=do_update)
+                self._l1, self._l2, self.dropout)
             outs.append((b.row_ids, yh))
         for row_ids, yh in outs:
             rows = np.asarray(row_ids)
@@ -203,7 +262,9 @@ class FTRL:
             "lambda": self.lambda_, "l1_ratio": self.l1_ratio,
             "dropout": self.dropout, "family": self.family,
             "n_features": self.n_features,
-            "z": np.asarray(self.z).copy(), "n": np.asarray(self.n).copy(),
+            # slice off mesh-padding rows so dumps are mesh-independent
+            "z": np.asarray(self.z)[:self.n_features + 1].copy(),
+            "n": np.asarray(self.n)[:self.n_features + 1].copy(),
         }
 
     @classmethod

@@ -24,10 +24,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import logger, resolve_dtype
+from ..parallel.sgd_sharded import (
+    DirectOps, ShardedOps, mesh_table_axes, replicate_on, shard_table,
+    unshard)
 
 CLIP_VALUE = 100.0  # reference src/rsparse.h:19
+
+_DIRECT = DirectOps()
 
 
 class GloveState(NamedTuple):
@@ -41,21 +47,19 @@ class GloveState(NamedTuple):
     acc_b_j: jax.Array
 
 
-@partial(jax.jit, static_argnames=("x_max", "alpha", "lr"),
-         donate_argnums=(0,))
-def _glove_epoch(state: GloveState, rows, cols, vals, valid,
-                 x_max: float, alpha: float, lr: float):
+def _glove_epoch_impl(ops, state: GloveState, rows, cols, vals, valid,
+                      x_max: float, alpha: float, lr: float):
     """One epoch over stacked COO shards: scan of minibatch AdaGrad steps.
 
-    rows/cols: (n_shards, N) int32; vals/valid: (n_shards, N).
+    rows/cols: (n_shards, N) int32; vals/valid: (n_shards, N).  All table
+    reads/writes go through ``ops`` (parallel/sgd_sharded.py), so the same
+    kernel runs single-device and with row-sharded tables under shard_map.
     """
 
     def step(st: GloveState, shard):
         r, c, v, m = shard
-        wi = st.w_i[r]                       # (N, k)
-        wj = st.w_j[c]
-        bi = st.b_i[r]
-        bj = st.b_j[c]
+        wi, wj, bi, bj = ops.gather_many(
+            [(st.w_i, r), (st.w_j, c), (st.b_i, r), (st.b_j, c)])
         logv = jnp.log(jnp.where(m, v, 1.0))
         weight = jnp.where(v < x_max, jnp.power(v / x_max, alpha), 1.0)
         cost_inner = jnp.sum(wi * wj, axis=1) + bi + bj - logv
@@ -71,15 +75,16 @@ def _glove_epoch(state: GloveState, rows, cols, vals, valid,
         # updates after (src/GloVe.cpp:136-146), which is equivalent sample
         # by sample but diverges under minibatching — high-degree nodes would
         # sum many full-size steps against a stale accumulator.
-        acc_w_i = st.acc_w_i.at[r].add(g_wi * g_wi)
-        acc_w_j = st.acc_w_j.at[c].add(g_wj * g_wj)
-        w_i = st.w_i.at[r].add(-lr * g_wi / jnp.sqrt(acc_w_i[r]))
-        w_j = st.w_j.at[c].add(-lr * g_wj / jnp.sqrt(acc_w_j[c]))
-
-        acc_b_i = st.acc_b_i.at[r].add(cost * cost)
-        acc_b_j = st.acc_b_j.at[c].add(cost * cost)
-        b_i = st.b_i.at[r].add(-lr * cost / jnp.sqrt(acc_b_i[r]))
-        b_j = st.b_j.at[c].add(-lr * cost / jnp.sqrt(acc_b_j[c]))
+        acc_w_i = ops.scatter_add(st.acc_w_i, r, g_wi * g_wi)
+        acc_w_j = ops.scatter_add(st.acc_w_j, c, g_wj * g_wj)
+        acc_b_i = ops.scatter_add(st.acc_b_i, r, cost * cost)
+        acc_b_j = ops.scatter_add(st.acc_b_j, c, cost * cost)
+        awi, awj, abi, abj = ops.gather_many(
+            [(acc_w_i, r), (acc_w_j, c), (acc_b_i, r), (acc_b_j, c)])
+        w_i = ops.scatter_add(st.w_i, r, -lr * g_wi / jnp.sqrt(awi))
+        w_j = ops.scatter_add(st.w_j, c, -lr * g_wj / jnp.sqrt(awj))
+        b_i = ops.scatter_add(st.b_i, r, -lr * cost / jnp.sqrt(abi))
+        b_j = ops.scatter_add(st.b_j, c, -lr * cost / jnp.sqrt(abj))
 
         return GloveState(w_i, w_j, b_i, b_j, acc_w_i, acc_w_j,
                           acc_b_i, acc_b_j), loss
@@ -90,8 +95,14 @@ def _glove_epoch(state: GloveState, rows, cols, vals, valid,
 
 @partial(jax.jit, static_argnames=("x_max", "alpha", "lr"),
          donate_argnums=(0,))
-def _glove_dense_step(state: GloveState, rows, cols, xgrid,
-                      x_max: float, alpha: float, lr: float):
+def _glove_epoch(state: GloveState, rows, cols, vals, valid,
+                 x_max: float, alpha: float, lr: float):
+    return _glove_epoch_impl(_DIRECT, state, rows, cols, vals, valid,
+                             x_max, alpha, lr)
+
+
+def _glove_dense_step_impl(ops, state: GloveState, rows, cols, xgrid,
+                           x_max: float, alpha: float, lr: float):
     """Minibatched pass over the dense head-head co-occurrence block.
 
     Both triplet axes are zipf-distributed, so the (H, H) block of the
@@ -119,10 +130,8 @@ def _glove_dense_step(state: GloveState, rows, cols, xgrid,
         lx = jnp.log(jnp.where(present, x, 1.0))
         w = jnp.where(x < x_max, jnp.power(x / x_max, alpha), 1.0)
         w = jnp.where(present, w, 0.0)
-        wi = st.w_i[r]                   # (Cr, k)
-        wj = st.w_j[c]                   # (Cc, k)
-        bi = st.b_i[r]
-        bj = st.b_j[c]
+        wi, wj, bi, bj = ops.gather_many(
+            [(st.w_i, r), (st.w_j, c), (st.b_i, r), (st.b_j, c)])
         s = (jnp.dot(wi, wj.T, preferred_element_type=wi.dtype)
              + bi[:, None] + bj[None, :] - lx)
         s = jnp.clip(s, -CLIP_VALUE, CLIP_VALUE)
@@ -130,23 +139,28 @@ def _glove_dense_step(state: GloveState, rows, cols, xgrid,
         loss = jnp.sum(cost * s)
         c2 = cost * cost
 
-        acc_w_i = st.acc_w_i.at[r].add(
+        acc_w_i = ops.scatter_add(
+            st.acc_w_i, r,
             jnp.dot(c2, wj * wj, preferred_element_type=wi.dtype))
-        acc_w_j = st.acc_w_j.at[c].add(
+        acc_w_j = ops.scatter_add(
+            st.acc_w_j, c,
             jnp.dot(c2.T, wi * wi, preferred_element_type=wi.dtype))
-        w_i = st.w_i.at[r].add(
+        acc_b_i = ops.scatter_add(st.acc_b_i, r, jnp.sum(c2, axis=1))
+        acc_b_j = ops.scatter_add(st.acc_b_j, c, jnp.sum(c2, axis=0))
+        awi, awj, abi, abj = ops.gather_many(
+            [(acc_w_i, r), (acc_w_j, c), (acc_b_i, r), (acc_b_j, c)])
+        w_i = ops.scatter_add(
+            st.w_i, r,
             -lr * jnp.dot(cost, wj, preferred_element_type=wi.dtype)
-            / jnp.sqrt(acc_w_i[r]))
-        w_j = st.w_j.at[c].add(
+            / jnp.sqrt(awi))
+        w_j = ops.scatter_add(
+            st.w_j, c,
             -lr * jnp.dot(cost.T, wi, preferred_element_type=wi.dtype)
-            / jnp.sqrt(acc_w_j[c]))
-
-        acc_b_i = st.acc_b_i.at[r].add(jnp.sum(c2, axis=1))
-        acc_b_j = st.acc_b_j.at[c].add(jnp.sum(c2, axis=0))
-        b_i = st.b_i.at[r].add(
-            -lr * jnp.sum(cost, axis=1) / jnp.sqrt(acc_b_i[r]))
-        b_j = st.b_j.at[c].add(
-            -lr * jnp.sum(cost, axis=0) / jnp.sqrt(acc_b_j[c]))
+            / jnp.sqrt(awj))
+        b_i = ops.scatter_add(st.b_i, r,
+                              -lr * jnp.sum(cost, axis=1) / jnp.sqrt(abi))
+        b_j = ops.scatter_add(st.b_j, c,
+                              -lr * jnp.sum(cost, axis=0) / jnp.sqrt(abj))
         return GloveState(w_i, w_j, b_i, b_j, acc_w_i, acc_w_j,
                           acc_b_i, acc_b_j), loss
 
@@ -154,6 +168,45 @@ def _glove_dense_step(state: GloveState, rows, cols, xgrid,
     # 0.5 * matches the _glove_epoch loss convention (reference
     # src/GloVe.cpp:156: global_cost += 0.5 * weight * cost_inner^2)
     return state, 0.5 * jnp.sum(losses)
+
+
+@partial(jax.jit, static_argnames=("x_max", "alpha", "lr"),
+         donate_argnums=(0,))
+def _glove_dense_step(state: GloveState, rows, cols, xgrid,
+                      x_max: float, alpha: float, lr: float):
+    return _glove_dense_step_impl(_DIRECT, state, rows, cols, xgrid,
+                                  x_max, alpha, lr)
+
+
+# Compiled-callable cache for the sharded epoch/dense-step programs (the
+# alx.py pattern: a fresh shard_map closure per call would retrace).
+_SHARDED_FNS: dict = {}
+
+
+def _sharded_glove_fn(mesh: Mesh, which: str, x_max: float, alpha: float,
+                      lr: float):
+    key = (mesh, which, x_max, alpha, lr)
+    fn = _SHARDED_FNS.get(key)
+    if fn is not None:
+        return fn
+    axes = mesh_table_axes(mesh)
+    ops = ShardedOps(axes)
+    st_spec = GloveState(*([P(axes)] * 8))
+    rep = P()
+    impl = (_glove_epoch_impl if which == "epoch"
+            else _glove_dense_step_impl)
+    n_data = 4 if which == "epoch" else 3
+
+    def body(state, *data):
+        return impl(ops, state, *data, x_max=x_max, alpha=alpha, lr=lr)
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(st_spec,) + (rep,) * n_data,
+        out_specs=(st_spec, rep), check_vma=False), donate_argnums=(0,))
+    _SHARDED_FNS[key] = fn
+    if len(_SHARDED_FNS) > 16:
+        _SHARDED_FNS.pop(next(iter(_SHARDED_FNS)))
+    return fn
 
 
 def _split_head(coo: sp.coo_matrix, n_hot: int, dtype=jnp.float32):
@@ -274,8 +327,16 @@ class GloVe:
         precision: str = "float32",
         seed: Optional[int] = None,
         n_hot="auto",
+        mesh: Optional[Mesh] = None,
     ):
         self.rank = int(rank)
+        #: device mesh: when set, the 8 state tables (embeddings, biases,
+        #: AdaGrad accumulators) are ROW-SHARDED over the mesh's data axes
+        #: — the TPU-native replacement for the reference's shared-memory
+        #: hogwild table (src/GloVe.cpp:91-94); staged COO shards are
+        #: replicated (streamed read-only data).  See
+        #: parallel/sgd_sharded.py for the design.
+        self.mesh = mesh
         self.x_max = float(x_max)
         self.learning_rate = float(learning_rate)
         self.alpha = float(alpha)
@@ -331,6 +392,21 @@ class GloVe:
             acc_b_i=jnp.ones((n,), self.dtype),
             acc_b_j=jnp.ones((n,), self.dtype),
         )
+        if self.mesh is not None:
+            # row-shard the state tables over the mesh (vocab axis padded
+            # to the axis size; pad rows are never gathered/scattered)
+            state = GloveState(*(shard_table(a, self.mesh) for a in state))
+            epoch_fn = _sharded_glove_fn(
+                self.mesh, "epoch", self.x_max, self.alpha,
+                self.learning_rate)
+            dense_fn = _sharded_glove_fn(
+                self.mesh, "dense", self.x_max, self.alpha,
+                self.learning_rate)
+        else:
+            epoch_fn = partial(_glove_epoch, x_max=self.x_max,
+                               alpha=self.alpha, lr=self.learning_rate)
+            dense_fn = partial(_glove_dense_step, x_max=self.x_max,
+                               alpha=self.alpha, lr=self.learning_rate)
 
         nnz = max(coo.nnz, 1)
         self.cost_history = []
@@ -352,6 +428,14 @@ class GloVe:
         shards = _stack_coo(rem, self.batch_size, self.dtype)
         shards_t = (_stack_coo(rem, self.batch_size, self.dtype, swap=True)
                     if is_triangular else None)
+        if self.mesh is not None:
+            shards = replicate_on(self.mesh, shards)
+            shards_t = (replicate_on(self.mesh, shards_t)
+                        if shards_t is not None else None)
+            grids = (replicate_on(self.mesh, grids)
+                     if grids is not None else None)
+            if hot_ids is not None and is_triangular:
+                grids_t = replicate_on(self.mesh, grids_t)
         for it in range(n_iter):
             if self.shuffle:
                 # device-side permutation: the staged shards never leave the
@@ -365,24 +449,15 @@ class GloVe:
                     shards_t = (shards[1], shards[0], shards[2], shards[3])
             cost = 0.0
             if grids is not None:
-                state, ch = _glove_dense_step(
-                    state, *grids, x_max=self.x_max,
-                    alpha=self.alpha, lr=self.learning_rate)
+                state, ch = dense_fn(state, *grids)
                 cost += float(ch)
-            state, ce = _glove_epoch(state, *shards, x_max=self.x_max,
-                                     alpha=self.alpha,
-                                     lr=self.learning_rate)
+            state, ce = epoch_fn(state, *shards)
             cost += float(ce)
             if is_triangular:
                 if grids is not None:
-                    state, ch2 = _glove_dense_step(
-                        state, *grids_t, x_max=self.x_max,
-                        alpha=self.alpha, lr=self.learning_rate)
+                    state, ch2 = dense_fn(state, *grids_t)
                     cost += float(ch2)
-                state, cost2 = _glove_epoch(state, *shards_t,
-                                            x_max=self.x_max,
-                                            alpha=self.alpha,
-                                            lr=self.learning_rate)
+                state, cost2 = epoch_fn(state, *shards_t)
                 cost += float(cost2)
             if np.isnan(cost):
                 raise FloatingPointError(
@@ -398,11 +473,12 @@ class GloVe:
                 logger.info("early stopping at epoch %d", it + 1)
                 break
 
-        self.components = np.asarray(state.w_j).T   # (rank, n), like w_j
-        self.bias_i = np.asarray(state.b_i)
-        self.bias_j = np.asarray(state.b_j)
+        # unshard() slices off mesh-padding vocab rows (no-op without mesh)
+        self.components = unshard(state.w_j, n).T   # (rank, n), like w_j
+        self.bias_i = unshard(state.b_i, n)
+        self.bias_j = unshard(state.b_j, n)
         self._state = state
-        return state.w_i
+        return state.w_i[:n] if state.w_i.shape[0] != n else state.w_i
 
     def get_history(self):
         return {"cost_history": list(self.cost_history)}

@@ -34,10 +34,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import logger, resolve_dtype
+from ..parallel.sgd_sharded import (
+    DirectOps, ShardedOps, mesh_table_axes, replicate_on, shard_table)
 from .base import MatrixFactorizationRecommender, get_names
 
+_DIRECT = DirectOps()
 ADAGRAD, RMSPROP = 0, 1
 BPR, WARP = 0, 1
 IDENTITY, SIGMOID = 0, 1
@@ -70,11 +74,14 @@ def _pad_features(feats: sp.csr_matrix, dtype) -> _Feats:
                   jnp.asarray(mask))
 
 
-def _combine(emb: jax.Array, feats: _Feats, ids: jax.Array) -> jax.Array:
-    """Feature-combined embeddings for entities ``ids``: (..., r)."""
+def _combine(ops, emb: jax.Array, feats: _Feats, ids: jax.Array
+             ) -> jax.Array:
+    """Feature-combined embeddings for entities ``ids``: (..., r).
+    ``emb`` may be a row-sharded table (gather goes through ``ops``);
+    ``feats`` is replicated metadata."""
     fi = feats.idx[ids]              # (..., F)
     fv = jnp.where(feats.mask[ids], feats.val[ids], 0.0)
-    return jnp.einsum("...f,...fr->...r", fv, emb[fi])
+    return jnp.einsum("...f,...fr->...r", fv, ops.gather(emb, fi))
 
 
 def _in_sorted_segment(flat_idx, p1, nnz, queries, n_steps: int):
@@ -98,11 +105,15 @@ def _in_sorted_segment(flat_idx, p1, nnz, queries, n_steps: int):
     return (lo < nnz[:, None]) & (v == queries)
 
 
-def _rankmf_batch(W, H, accW, accH, key, flat_idx, indptr, row_nnz,
+def _rankmf_batch(ops, W, H, accW, accH, key, flat_idx, indptr, row_nnz,
                   uf: _Feats, itf: _Feats, lr, gamma, lam_u, lam_ip, lam_in,
                   margin, cfg, n_item: int, bs_steps: int):
     """One minibatch of pairwise updates (cfg = (S, K, loss, kernel,
-    optimizer, update_items))."""
+    optimizer, update_items)).  Factor-table access goes through ``ops``
+    (parallel/sgd_sharded.py): W/H/accW/accH may be row-sharded under
+    shard_map; the interaction CSR (flat_idx/indptr/row_nnz) and feature
+    metadata are replicated, so sampling and the positive-set binary
+    search stay collective-free."""
     S, K, loss_kind, kernel, optimizer, update_items = cfg
     lr = jnp.asarray(lr, W.dtype)
     gamma = jnp.asarray(gamma, W.dtype)
@@ -120,13 +131,13 @@ def _rankmf_batch(W, H, accW, accH, key, flat_idx, indptr, row_nnz,
     pos_off = jax.random.randint(k_p, (S,), 0, jnp.maximum(nnz_u, 1))
     i = flat_idx[jnp.clip(p1 + pos_off, 0, flat_idx.shape[0] - 1)]
 
-    w_u = _combine(W, uf, u)                # (S, r)
-    h_i = _combine(H, itf, i)
+    w_u = _combine(ops, W, uf, u)           # (S, r)
+    h_i = _combine(ops, H, itf, i)
 
     j_cand = jax.random.randint(k_n, (S, K), 0, n_item)
     is_neg = ~_in_sorted_segment(flat_idx, p1, nnz_u, j_cand, bs_steps)
 
-    h_j_all = _combine(H, itf, j_cand)      # (S, K, r)
+    h_j_all = _combine(ops, H, itf, j_cand)  # (S, K, r)
     r_ui = jnp.sum(w_u * h_i, axis=1)       # (S,)
     r_uj = jnp.einsum("sr,skr->sk", w_u, h_j_all)
     if kernel == SIGMOID:
@@ -180,8 +191,8 @@ def _rankmf_batch(W, H, accW, accH, key, flat_idx, indptr, row_nnz,
         g2 = jnp.sum(grad * grad, axis=1) / r          # (S,) mean sq grad
         g2f = jnp.where(fmask, g2[:, None], 0.0)
         if optimizer == ADAGRAD:
-            acc = acc.at[fi].add(g2f)
-            denom = jnp.sqrt(acc[fi] + EPS)            # (S, F)
+            acc = ops.scatter_add(acc, fi, g2f)
+            denom = jnp.sqrt(ops.gather(acc, fi) + EPS)   # (S, F)
         else:
             # RMSPROP: acc <- gamma*acc + (1-gamma)*sum(g2) once per touched
             # feature per batch (the batched analog of the reference's
@@ -190,16 +201,18 @@ def _rankmf_batch(W, H, accW, accH, key, flat_idx, indptr, row_nnz,
             # batch: naive scatter-add of it once per duplicate would apply
             # the (gamma-1)*old term n times and drive the accumulator
             # negative (NaN under sqrt) whenever a user/item repeats.
-            old = acc[fi]
-            cnt = jnp.zeros((acc.shape[0],), acc.dtype).at[fi].add(
-                fmask.astype(acc.dtype))
-            n_dup = jnp.maximum(cnt[fi], 1.0)
+            # ``cnt`` is a batch-local table in the same (sharded) layout
+            # as ``acc``.
+            old = ops.gather(acc, fi)
+            cnt = ops.scatter_add(jnp.zeros((acc.shape[0],), acc.dtype),
+                                  fi, fmask.astype(acc.dtype))
+            n_dup = jnp.maximum(ops.gather(cnt, fi), 1.0)
             delta = (gamma - 1.0) * old / n_dup + (1.0 - gamma) * g2[:, None]
-            acc = acc.at[fi].add(jnp.where(fmask, delta, 0.0))
-            denom = jnp.sqrt(acc[fi] + EPS)
+            acc = ops.scatter_add(acc, fi, jnp.where(fmask, delta, 0.0))
+            denom = jnp.sqrt(ops.gather(acc, fi) + EPS)
         step = grad[:, None, :] / denom[..., None] + lam * comb[:, None, :]
         step = jnp.where(fmask[..., None], step, 0.0)
-        emb = emb.at[fi].add(-lr * step)
+        emb = ops.scatter_add(emb, fi, -lr * step)
         return emb, acc
 
     W, accW = apply(W, accW, uf, u, grad_u, lam_u, w_u)
@@ -211,18 +224,17 @@ def _rankmf_batch(W, H, accW, accH, key, flat_idx, indptr, row_nnz,
     return W, H, accW, accH, auc_num, auc_den, jnp.sum(found), n_tried
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_item", "bs_steps"),
-         donate_argnums=(0, 1, 2, 3))
-def _rankmf_epoch(W, H, accW, accH, keys, flat_idx, indptr, row_nnz,
-                  uf: _Feats, itf: _Feats, lr, gamma, lam_u, lam_ip, lam_in,
-                  margin, cfg, n_item: int, bs_steps: int):
+def _rankmf_epoch_impl(ops, W, H, accW, accH, keys, flat_idx, indptr,
+                       row_nnz, uf: _Feats, itf: _Feats, lr, gamma, lam_u,
+                       lam_ip, lam_in, margin, cfg, n_item: int,
+                       bs_steps: int):
     """All minibatches of one fit call as a single scanned program —
     per-batch host dispatch would dominate on a high-latency runtime."""
 
     def step(carry, key):
         W, H, accW, accH, an, ad = carry
         W, H, accW, accH, a_n, a_d, _, _ = _rankmf_batch(
-            W, H, accW, accH, key, flat_idx, indptr, row_nnz, uf, itf,
+            ops, W, H, accW, accH, key, flat_idx, indptr, row_nnz, uf, itf,
             lr, gamma, lam_u, lam_ip, lam_in, margin, cfg, n_item, bs_steps)
         return (W, H, accW, accH, an + a_n.astype(jnp.int32),
                 ad + a_d.astype(jnp.int32)), None
@@ -231,6 +243,45 @@ def _rankmf_epoch(W, H, accW, accH, keys, flat_idx, indptr, row_nnz,
             jnp.zeros((), jnp.int32))
     (W, H, accW, accH, auc_n, auc_d), _ = jax.lax.scan(step, init, keys)
     return W, H, accW, accH, auc_n, auc_d
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_item", "bs_steps"),
+         donate_argnums=(0, 1, 2, 3))
+def _rankmf_epoch(W, H, accW, accH, keys, flat_idx, indptr, row_nnz,
+                  uf: _Feats, itf: _Feats, lr, gamma, lam_u, lam_ip, lam_in,
+                  margin, cfg, n_item: int, bs_steps: int):
+    return _rankmf_epoch_impl(_DIRECT, W, H, accW, accH, keys, flat_idx,
+                              indptr, row_nnz, uf, itf, lr, gamma, lam_u,
+                              lam_ip, lam_in, margin, cfg, n_item, bs_steps)
+
+
+_SHARDED_FNS: dict = {}
+
+
+def _sharded_rankmf_fn(mesh: Mesh, cfg, n_item: int, bs_steps: int):
+    """Cached shard_map program: W/H and their accumulators row-sharded
+    (BASELINE config #5's "factor tables row-sharded across 2+ hosts");
+    interactions/features/keys replicated."""
+    key = (mesh, cfg, n_item, bs_steps)
+    fn = _SHARDED_FNS.get(key)
+    if fn is not None:
+        return fn
+    axes = mesh_table_axes(mesh)
+    ops = ShardedOps(axes)
+    tab, rep = P(axes), P()
+
+    def body(W, H, accW, accH, *rest):
+        return _rankmf_epoch_impl(ops, W, H, accW, accH, *rest, cfg=cfg,
+                                  n_item=n_item, bs_steps=bs_steps)
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(tab, tab, tab, tab) + (rep,) * 12,
+        out_specs=(tab, tab, tab, tab, rep, rep), check_vma=False),
+        donate_argnums=(0, 1, 2, 3))
+    _SHARDED_FNS[key] = fn
+    if len(_SHARDED_FNS) > 16:
+        _SHARDED_FNS.pop(next(iter(_SHARDED_FNS)))
+    return fn
 
 
 class RankMF(MatrixFactorizationRecommender):
@@ -250,8 +301,17 @@ class RankMF(MatrixFactorizationRecommender):
         batch_size: int = 512,
         precision: str = "float32",
         seed: Optional[int] = None,
+        mesh: Optional[Mesh] = None,
     ):
         super().__init__()
+        #: device mesh: when set, the four factor-state tables (user/item
+        #: feature embeddings + optimizer accumulators) are row-sharded
+        #: over the mesh's data axes — BASELINE config #5's requirement;
+        #: replaces the reference's hogwild shared tables
+        #: (src/rankmf.cpp:133-140).  Interactions and feature metadata
+        #: are replicated (streamed read-only data), which keeps sampling
+        #: and the positive-set binary search collective-free.
+        self.mesh = mesh
         self.rank = int(rank)
         self.learning_rate = float(learning_rate)
         self.optimizer = {"adagrad": ADAGRAD, "rmsprop": RMSPROP}[optimizer]
@@ -302,32 +362,46 @@ class RankMF(MatrixFactorizationRecommender):
         self._user_features = user_features
         nuf, nif = user_features.shape[1], item_features.shape[1]
 
+        self._nuf, self._nif = nuf, nif
         if self.user_features_embeddings is None:
             self.user_features_embeddings = jnp.asarray(
                 self._rng.standard_normal((nuf, self.rank)) * 1e-3,
                 self.dtype)
             self._accW = jnp.ones((nuf,), self.dtype)
+            if self.mesh is not None:
+                self.user_features_embeddings = shard_table(
+                    self.user_features_embeddings, self.mesh)
+                self._accW = shard_table(self._accW, self.mesh)
         if self.item_features_embeddings is None:
             self.item_features_embeddings = jnp.asarray(
                 self._rng.standard_normal((nif, self.rank)) * 1e-3,
                 self.dtype)
             self._accH = jnp.ones((nif,), self.dtype)
+            if self.mesh is not None:
+                self.item_features_embeddings = shard_table(
+                    self.item_features_embeddings, self.mesh)
+                self._accH = shard_table(self._accH, self.mesh)
 
         # content-addressed staging: repeated partial_fit calls on the same
         # interactions/features skip the host->device transfers entirely
         from ..sparse.device import staged_cached
-        dt_key = str(jnp.dtype(self.dtype))
-        uf = staged_cached("rankmf_uf", user_features,
-                           lambda: _pad_features(user_features, self.dtype),
-                           extra=dt_key)
-        itf = staged_cached("rankmf_if", item_features,
-                            lambda: _pad_features(item_features, self.dtype),
-                            extra=dt_key)
+        dt_key = (str(jnp.dtype(self.dtype)), self.mesh)
+        rep = ((lambda t: replicate_on(self.mesh, t))
+               if self.mesh is not None else (lambda t: t))
+        uf = staged_cached(
+            "rankmf_uf", user_features,
+            lambda: rep(_pad_features(user_features, self.dtype)),
+            extra=dt_key)
+        itf = staged_cached(
+            "rankmf_if", item_features,
+            lambda: rep(_pad_features(item_features, self.dtype)),
+            extra=dt_key)
         flat_idx, indptr, row_nnz = staged_cached(
             "rankmf_x", csr,
-            lambda: (jnp.asarray(csr.indices, jnp.int32),
-                     jnp.asarray(csr.indptr[:-1], jnp.int32),
-                     jnp.asarray(np.diff(csr.indptr), jnp.int32)))
+            lambda: rep((jnp.asarray(csr.indices, jnp.int32),
+                         jnp.asarray(csr.indptr[:-1], jnp.int32),
+                         jnp.asarray(np.diff(csr.indptr), jnp.int32))),
+            extra=self.mesh)
         max_nnz = max(int(np.diff(csr.indptr).max()) if csr.nnz else 1, 1)
         bs_steps = int(np.ceil(np.log2(max_nnz + 1))) + 1
 
@@ -348,6 +422,11 @@ class RankMF(MatrixFactorizationRecommender):
         CHUNK = 8
         n_chunks = -(-n_batches // CHUNK)
         auc_n = auc_d = 0
+        if self.mesh is not None:
+            epoch = _sharded_rankmf_fn(self.mesh, cfg, n_item, bs_steps)
+        else:
+            epoch = partial(_rankmf_epoch, cfg=cfg, n_item=n_item,
+                            bs_steps=bs_steps)
         for _ in range(n_chunks):
             self._key, sub = jax.random.split(self._key)
             keys = jax.random.split(sub, CHUNK)
@@ -355,12 +434,12 @@ class RankMF(MatrixFactorizationRecommender):
             # under x64 and would upcast the scatter updates (a future
             # jax error for .at[].add with mismatched dtypes)
             sc = lambda v: jnp.asarray(v, W.dtype)
-            (W, H, accW, accH, an, ad) = _rankmf_epoch(
+            (W, H, accW, accH, an, ad) = epoch(
                 W, H, accW, accH, keys, flat_idx, indptr, row_nnz, uf, itf,
                 sc(self.learning_rate), sc(self.gamma), sc(self.lambda_user),
                 sc(self.lambda_item_positive),
                 sc(self.lambda_item_negative),
-                sc(self.margin), cfg, n_item, bs_steps)
+                sc(self.margin))
             auc_n, auc_d = an, ad  # last chunk's counters (freshest estimate)
         self.auc_history.append(int(auc_n) / max(int(auc_d), 1))
         logger.info("RankMF: %d updates, AUC~%.3f", n_batches * S,
@@ -381,15 +460,17 @@ class RankMF(MatrixFactorizationRecommender):
         if self._identity_user_feats:
             # defensive copy: the live table is DONATED into the next
             # partial_fit's _rankmf_epoch, which would invalidate a
-            # caller-held return value ("Array has been deleted")
-            return jnp.copy(W)
-        return user_features @ np.asarray(W, np.float64)
+            # caller-held return value ("Array has been deleted").
+            # [:nuf] slices off mesh-padding rows (no-op without mesh).
+            return jnp.copy(W[:nuf]) if W.shape[0] != nuf else jnp.copy(W)
+        return user_features @ np.asarray(W, np.float64)[:nuf]
 
     @property
     def components(self):
         if (self._components_cache is None
                 and self.item_features_embeddings is not None):
-            H = np.asarray(self.item_features_embeddings, np.float64)
+            H = np.asarray(self.item_features_embeddings,
+                           np.float64)[:self._nif]
             if self._identity_item_feats:
                 self._components_cache = np.ascontiguousarray(H.T)
             else:
@@ -407,10 +488,13 @@ class RankMF(MatrixFactorizationRecommender):
             raise RuntimeError("model is not fitted")
         if self._user_features is None or self._identity_user_feats:
             W = self.user_features_embeddings
-            if x.shape[0] != W.shape[0]:
+            if x.shape[0] != self._nuf:
                 raise ValueError(
                     f"x has {x.shape[0]} rows but the model was trained "
-                    f"with identity features for {W.shape[0]} users")
-            return jnp.copy(W)   # live table is donated on the next fit call
+                    f"with identity features for {self._nuf} users")
+            # live table is donated on the next fit call; [:nuf] slices
+            # off mesh-padding rows
+            return jnp.copy(W[:self._nuf]) if W.shape[0] != self._nuf \
+                else jnp.copy(W)
         return self._user_features @ np.asarray(
-            self.user_features_embeddings, np.float64)
+            self.user_features_embeddings, np.float64)[:self._nuf]

@@ -100,14 +100,13 @@ class WRMF(MatrixFactorizationRecommender):
         if self.non_negative and with_global_bias:
             logger.warning("setting with_global_bias=False for 'nnls' solver")
             with_global_bias = False
-        if (self.solver == CONJUGATE_GRADIENT and with_user_item_bias
-                and feedback == "implicit"):
-            # the reference's implicit CG-with-bias path is broken
-            # (inst/include/wrmf_implicit.hpp:199 double-drop) and untested;
-            # fall back to the exact solver
-            logger.warning("implicit feedback with user/item biases: using "
-                           "cholesky instead of conjugate_gradient")
-            self.solver = CHOLESKY
+        # NB: implicit + per-entity biases + CG runs the mathematically-
+        # consistent CG form (ops/als.py _solve_bucket_implicit handles the
+        # x_bias rhs offset for every solver).  The reference's own implicit
+        # CG-with-bias path is broken (inst/include/wrmf_implicit.hpp:199
+        # drops the bias coordinate from the rhs twice) and untested; ours
+        # matches the Cholesky solution to CG tolerance
+        # (tests/test_wrmf.py::test_implicit_cg_bias_matches_cholesky).
         self.with_user_item_bias = with_user_item_bias
         self.with_global_bias = with_global_bias
         self.rank = int(rank)
