@@ -310,6 +310,75 @@ def measure_rankmf(csr, rank=128, n_iter=8, mesh=None):
     return n_updates / dt
 
 
+def measure_config5_10m(n_users=10_000_000, n_items=131_072,
+                        nnz_per_user=5, fm_rows=2_000_000, seed=0):
+    """BASELINE config #5: RankMF (WARP) + FM on a 10M-user synthetic
+    implicit matrix with factor tables ROW-SHARDED over the device mesh
+    (1 chip here; the same sharded programs span hosts on a ("dcn","ici")
+    mesh — proven by tests/test_multihost.py::test_two_process_sharded_sgd).
+
+    RankMF: W table 10M x 8 rows sharded; one epoch = 10M pairwise updates.
+    FM: one-hot user+item CF rows (2 nnz each); v table (10M + n_items) x 4.
+    Returns {"rankmf_updates_per_s": ..., "fm_rows_per_s": ...}.
+    """
+    import jax
+    from rsparse_tpu.models.fm import FactorizationMachine
+    from rsparse_tpu.models.rankmf import RankMF
+    from rsparse_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(seed)
+    out = {}
+
+    # --- RankMF at 10M users -------------------------------------------
+    t0 = time.time()
+    cols = rng.integers(0, n_items, n_users * nnz_per_user, dtype=np.int64)
+    indptr = np.arange(0, n_users * nnz_per_user + 1, nnz_per_user,
+                       dtype=np.int64)
+    # sort each row's items (the model would re-sort; keep staging cheap)
+    cols = np.sort(cols.reshape(n_users, nnz_per_user), axis=1).reshape(-1)
+    x = sp.csr_matrix((np.ones(len(cols), np.float32),
+                       cols.astype(np.int32), indptr),
+                      shape=(n_users, n_items))
+    log(f"config5 synth build: {time.time()-t0:.1f}s "
+        f"({n_users} users, {x.nnz} nnz)")
+    m = RankMF(rank=8, learning_rate=0.5, loss="warp", seed=0,
+               batch_size=8192, max_negative_samples=20, mesh=mesh)
+    t0 = time.time()
+    jax.block_until_ready(m.partial_fit_transform(x, n_iter=0))
+    log(f"config5 rankmf staging+compile: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    jax.block_until_ready(m.partial_fit_transform(x, n_iter=1))
+    dt = time.time() - t0
+    out["rankmf_updates_per_s"] = round(n_users / dt)
+    log(f"config5 rankmf (10M users, row-sharded tables): "
+        f"{n_users/dt:,.0f} pairwise updates/s (AUC~{m.auc_history[-1]:.3f})")
+    del m, x
+
+    # --- FM on one-hot CF rows -----------------------------------------
+    u = rng.integers(0, n_users, fm_rows, dtype=np.int64)
+    i = rng.integers(0, n_items, fm_rows, dtype=np.int64)
+    n_feat = n_users + n_items
+    fmx = sp.csr_matrix(
+        (np.ones(2 * fm_rows, np.float32),
+         np.stack([u, n_users + i], 1).astype(np.int64).reshape(-1),
+         np.arange(0, 2 * fm_rows + 1, 2, dtype=np.int64)),
+        shape=(fm_rows, n_feat))
+    y = (u % 3 == 0).astype(np.float64)
+    fm = FactorizationMachine(rank=4, learning_rate_w=0.2, seed=0,
+                              mesh=mesh)
+    t0 = time.time()
+    fm.partial_fit(fmx, y)
+    log(f"config5 fm staging+compile: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    fm.partial_fit(fmx, y)
+    dt = time.time() - t0
+    out["fm_rows_per_s"] = round(fm_rows / dt)
+    log(f"config5 fm ({n_feat} features, row-sharded v): "
+        f"{fm_rows/dt:,.0f} rows/s")
+    return out
+
+
 def measure_ftrl_fm(n_rows=100_000, n_feat=10_000, nnz_per_row=32, seed=0,
                     reps=3, families=("ftrl", "fm")):
     """FTRL / FM online-learning rows/s on a synthetic CSR problem
@@ -625,6 +694,7 @@ def main():
     tpu = {"wrmf": ups}
     quality = None
     lf = None
+    cfg5 = None
 
     def run_glove():
         tpu["glove"] = measure_glove()
@@ -646,6 +716,10 @@ def main():
         nonlocal lf
         lf = measure_linear_flow(csr)
 
+    def run_config5():
+        nonlocal cfg5
+        cfg5 = measure_config5_10m()
+
     for name, fn in [
         ("explicit_sweep", lambda: None if quick else measure_sweep(
             csr, RANK, 5, n_hot=N_HOT, feedback="explicit")),
@@ -665,6 +739,7 @@ def main():
         ("soft_impute", lambda: None if quick else run_soft_impute()),
         ("rankmf", lambda: None if quick else run_rankmf()),
         ("ftrl_fm", lambda: None if quick else run_ftrl_fm()),
+        ("config5_10m", lambda: None if quick else run_config5()),
         ("quality", lambda: None if quick else run_quality()),
     ]:
         try:
@@ -707,6 +782,7 @@ def main():
         "extra": {
             "families": families,
             "linear_flow": lf,
+            "config5_10m_rowsharded": cfg5,
             "quality_ml100k": None if quality is None else {
                 "ndcg10": round(quality[0], 4), "map10": round(quality[1], 4),
                 "gates": [QUALITY_GATE_NDCG, QUALITY_GATE_MAP]},

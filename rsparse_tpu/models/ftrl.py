@@ -29,7 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import logger, resolve_dtype
 from ..parallel.sgd_sharded import (
     DirectOps, ShardedOps, mesh_table_axes, padded_rows, replicate_on,
-    shard_table)
+    shard_table, unshard)
 from ..sparse.device import bucket_rows_cached
 
 _FAMILY_CODES = {"binomial": 1, "gaussian": 2, "poisson": 3}
@@ -244,8 +244,10 @@ class FTRL:
 
     def coef(self) -> np.ndarray:
         """Regression weights from the (z, n) state
-        (reference src/FTRL.cpp:59-75)."""
-        w = _lazy_weights(self.z[:self.n_features], self.n[:self.n_features],
+        (reference src/FTRL.cpp:59-75).  unshard() handles row-sharded
+        (incl. multi-process) state."""
+        w = _lazy_weights(jnp.asarray(unshard(self.z, self.n_features)),
+                          jnp.asarray(unshard(self.n, self.n_features)),
                           self.learning_rate, self.learning_rate_decay,
                           self._l1, self._l2)
         return np.asarray(w, np.float64)
@@ -263,8 +265,8 @@ class FTRL:
             "dropout": self.dropout, "family": self.family,
             "n_features": self.n_features,
             # slice off mesh-padding rows so dumps are mesh-independent
-            "z": np.asarray(self.z)[:self.n_features + 1].copy(),
-            "n": np.asarray(self.n)[:self.n_features + 1].copy(),
+            "z": unshard(self.z, self.n_features + 1).copy(),
+            "n": unshard(self.n, self.n_features + 1).copy(),
         }
 
     @classmethod

@@ -38,7 +38,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import logger, resolve_dtype
 from ..parallel.sgd_sharded import (
-    DirectOps, ShardedOps, mesh_table_axes, replicate_on, shard_table)
+    DirectOps, ShardedOps, mesh_table_axes, replicate_on, shard_table,
+    unshard)
 from .base import MatrixFactorizationRecommender, get_names
 
 _DIRECT = DirectOps()
@@ -463,14 +464,14 @@ class RankMF(MatrixFactorizationRecommender):
             # caller-held return value ("Array has been deleted").
             # [:nuf] slices off mesh-padding rows (no-op without mesh).
             return jnp.copy(W[:nuf]) if W.shape[0] != nuf else jnp.copy(W)
-        return user_features @ np.asarray(W, np.float64)[:nuf]
+        return user_features @ unshard(W, nuf).astype(np.float64)
 
     @property
     def components(self):
         if (self._components_cache is None
                 and self.item_features_embeddings is not None):
-            H = np.asarray(self.item_features_embeddings,
-                           np.float64)[:self._nif]
+            H = unshard(self.item_features_embeddings,
+                        self._nif).astype(np.float64)
             if self._identity_item_feats:
                 self._components_cache = np.ascontiguousarray(H.T)
             else:
@@ -496,5 +497,5 @@ class RankMF(MatrixFactorizationRecommender):
             # off mesh-padding rows
             return jnp.copy(W[:self._nuf]) if W.shape[0] != self._nuf \
                 else jnp.copy(W)
-        return self._user_features @ np.asarray(
-            self.user_features_embeddings, np.float64)[:self._nuf]
+        return self._user_features @ unshard(
+            self.user_features_embeddings, self._nuf).astype(np.float64)

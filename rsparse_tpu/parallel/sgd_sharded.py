@@ -138,6 +138,18 @@ def padded_rows(n: int, mesh: Mesh, axes: Optional[Axes] = None) -> int:
     return -(-n // d) * d
 
 
+def _put(arr: jax.Array, sharding: NamedSharding) -> jax.Array:
+    """Place a process-local array under ``sharding`` — ``device_put``
+    in-process; per-shard callback assembly when the mesh spans processes
+    (multi-controller: every process passes the same values)."""
+    if all(d.process_index == jax.process_index()
+           for d in sharding.mesh.devices.flat):
+        return jax.device_put(arr, sharding)
+    host = np.asarray(arr)
+    return jax.make_array_from_callback(host.shape, sharding,
+                                        lambda idx: host[idx])
+
+
 def shard_table(arr, mesh: Mesh, axes: Optional[Axes] = None,
                 n_rows: Optional[int] = None) -> jax.Array:
     """Pad ``arr``'s row axis to the mesh and place it row-sharded.
@@ -152,18 +164,26 @@ def shard_table(arr, mesh: Mesh, axes: Optional[Axes] = None,
     if np_ != a.shape[0]:
         pad = [(0, np_ - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
         a = jnp.pad(a, pad)
-    return jax.device_put(a, NamedSharding(mesh, P(axes)))
+    return _put(a, NamedSharding(mesh, P(axes)))
 
 
 def replicate_on(mesh: Mesh, tree):
     """Place a pytree of arrays fully replicated on the mesh (minibatch
     ids/values: streamed read-only data, not state)."""
     sh = NamedSharding(mesh, P())
-    return jax.tree.map(lambda a: jax.device_put(jnp.asarray(a), sh), tree)
+    return jax.tree.map(lambda a: _put(jnp.asarray(a), sh), tree)
 
 
 def unshard(arr, n: Optional[int] = None) -> np.ndarray:
     """Materialize a (possibly padded, sharded) table on host, sliced back
-    to its logical row count."""
+    to its logical row count.  On a multi-process mesh the row shards are
+    first all-gathered to a replicated layout (a tiny jitted identity with
+    replicated out_shardings), since np.asarray only reads fully-replicated
+    or addressable arrays."""
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable \
+            and not arr.sharding.is_fully_replicated:
+        mesh = arr.sharding.mesh
+        arr = jax.jit(lambda a: a,
+                      out_shardings=NamedSharding(mesh, P()))(arr)
     a = np.asarray(arr)
     return a if n is None else a[:n]

@@ -14,6 +14,9 @@ checkpoint-restart story (orbax multiprocess save/restore of the
 replicated fit state).
 ``mode`` = "alx": fit with routing="alx" — the all-to-all factor exchange
 riding the ("dcn","ici") axes across the 2 processes.
+``mode`` = "sgd": RankMF (WARP) + FM + GloVe with state tables row-sharded
+over ("dcn","ici") across the 2 processes (parallel/sgd_sharded.py) —
+BASELINE config #5's "factor tables row-sharded across 2+ hosts" shape.
 """
 
 import os
@@ -50,6 +53,38 @@ def main():
 
     mesh = make_multihost_mesh()
     assert mesh.shape == {"dcn": nproc, "ici": 2}
+
+    if mode == "sgd":
+        from rsparse_tpu.models.fm import FactorizationMachine
+        from rsparse_tpu.models.glove import GloVe
+        from rsparse_tpu.models.rankmf import RankMF
+        from rsparse_tpu.parallel.sgd_sharded import unshard
+
+        inter = (x > 0).astype(np.float64).tocsr()
+        rmf = RankMF(rank=6, loss="warp", seed=3, batch_size=32,
+                     max_negative_samples=8, mesh=mesh)
+        w_rmf = unshard(rmf.partial_fit_transform(inter, n_iter=2))
+
+        yb = (np.asarray(inter[:, :16].sum(axis=1)).ravel() > 0
+              ).astype(np.float64)
+        fm = FactorizationMachine(rank=4, learning_rate_w=0.2, seed=3,
+                                  mesh=mesh)
+        fm.fit(inter, yb, n_iter=2)
+        p_fm = fm.predict(inter)
+
+        rs2 = np.random.RandomState(2)
+        cm = sp.random(48, 48, density=0.3, random_state=rs2, format="coo")
+        cm.data = 1.0 + 2.0 * cm.data
+        g = GloVe(rank=6, x_max=10.0, learning_rate=0.05, seed=1,
+                  batch_size=64, n_hot=0, mesh=mesh)
+        w_g = unshard(g.fit_transform(cm, n_iter=2), 48)
+
+        if pid == 0:
+            np.savez(out, w_rmf=w_rmf, p_fm=p_fm, w_g=w_g,
+                     glove_cost=np.asarray(g.cost_history))
+        jax.distributed.shutdown()
+        return
+
     kw = dict(rank=6, lambda_=0.5, feedback="implicit", solver="cholesky",
               precision="double", seed=0, mesh=mesh)
     if mode == "alx":

@@ -126,6 +126,44 @@ def test_two_process_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(b["loss"], a["loss"], rtol=1e-12)
 
 
+def test_two_process_sharded_sgd(tmp_path):
+    """RankMF + FM + GloVe with state tables row-sharded over ('dcn','ici')
+    across 2 REAL processes must reproduce the single-process fits
+    (BASELINE config #5's row-sharded-across-hosts shape)."""
+    out = str(tmp_path / "sgd.npz")
+    _run_workers(2, out, mode="sgd")
+    got = np.load(out)
+
+    from rsparse_tpu.models.fm import FactorizationMachine
+    from rsparse_tpu.models.glove import GloVe
+    from rsparse_tpu.models.rankmf import RankMF
+
+    rs = np.random.RandomState(0)
+    x = sp.random(96, 80, density=0.3, random_state=rs, format="csr")
+    x.data = 1.0 + 4.0 * x.data
+    inter = (x > 0).astype(np.float64).tocsr()
+
+    rmf = RankMF(rank=6, loss="warp", seed=3, batch_size=32,
+                 max_negative_samples=8)
+    w_rmf = np.asarray(rmf.partial_fit_transform(inter, n_iter=2))
+    np.testing.assert_allclose(got["w_rmf"], w_rmf, atol=1e-6)
+
+    yb = (np.asarray(inter[:, :16].sum(axis=1)).ravel() > 0
+          ).astype(np.float64)
+    fm = FactorizationMachine(rank=4, learning_rate_w=0.2, seed=3)
+    fm.fit(inter, yb, n_iter=2)
+    np.testing.assert_allclose(got["p_fm"], fm.predict(inter), atol=1e-6)
+
+    rs2 = np.random.RandomState(2)
+    cm = sp.random(48, 48, density=0.3, random_state=rs2, format="coo")
+    cm.data = 1.0 + 2.0 * cm.data
+    g = GloVe(rank=6, x_max=10.0, learning_rate=0.05, seed=1,
+              batch_size=64, n_hot=0)
+    w_g = np.asarray(g.fit_transform(cm, n_iter=2))
+    np.testing.assert_allclose(got["w_g"], w_g, atol=2e-6)
+    np.testing.assert_allclose(got["glove_cost"], g.cost_history, rtol=1e-5)
+
+
 def test_two_process_routing_alx(tmp_path):
     """routing='alx' across 2 real processes: the routed exchange over
     ('dcn','ici') must reproduce the single-process CG fit."""
