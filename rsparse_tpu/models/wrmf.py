@@ -388,25 +388,59 @@ class WRMF(MatrixFactorizationRecommender):
         # dense zipf-head split active, training sweeps run on (hot block +
         # cold buckets); the exact final/transform half-sweep keeps the full
         # buckets (its Cholesky solver has no hot path).
-        csr_t = csr.T.tocsr()
         if self.hot_dtype == "auto":
             w_dt = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
                     else self.dtype)
         else:
             w_dt = jnp.dtype(self.hot_dtype)
         with_presence = self.feedback == "explicit"
-        hot_ui, cold_ui = None, csr
         n_hot_items = self._resolve_n_hot(csr)
-        if n_hot_items:
+
+        # Three independent staging chains (hot/cold split -> bucket build
+        # -> host->device transfer per orientation, plus the full-matrix
+        # transform buckets).  Run them on threads when single-process:
+        # numpy/scipy and the OpenMP native fill release the GIL, and the
+        # chains were measured at 2.3-3.6 s EACH at bench scale with zero
+        # overlap (BENCH_r03 / VERDICT r03 weak-#4).  Multihost keeps the
+        # sequential order — its bucket negotiation issues collectives,
+        # which must be issued in identical order on every process.
+        def chain_ui():
+            if not n_hot_items:
+                return None, csr, None
             hot_ui, cold_ui = split_hot_cold(csr, n_hot_items, self.dtype,
                                              w_dtype=w_dt,
                                              with_presence=with_presence)
-        hot_iu, cold_iu = None, csr_t
-        n_hot_users = self._resolve_n_hot(csr_t)
-        if n_hot_users:
-            hot_iu, cold_iu = split_hot_cold(csr_t, n_hot_users, self.dtype,
-                                             w_dtype=w_dt,
-                                             with_presence=with_presence)
+            ui = self._bucketize(cold_ui, incl or hot_ui is not None)
+            return hot_ui, cold_ui, ui
+
+        def chain_iu():
+            csr_t = csr.T.tocsr()
+            n_hot_users = self._resolve_n_hot(csr_t)
+            if n_hot_users:
+                hot_iu, cold_iu = split_hot_cold(
+                    csr_t, n_hot_users, self.dtype, w_dtype=w_dt,
+                    with_presence=with_presence)
+            else:
+                hot_iu, cold_iu = None, csr_t
+            iu = self._bucketize(cold_iu, incl or hot_iu is not None)
+            return csr_t, n_hot_users, hot_iu, cold_iu, iu
+
+        def chain_full():
+            return self._bucketize(csr, incl)
+
+        if self.routing is None and not self._multihost:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(3) as ex:
+                f_ui = ex.submit(chain_ui)
+                f_iu = ex.submit(chain_iu)
+                f_full = ex.submit(chain_full)
+                hot_ui, cold_ui, ui = f_ui.result()
+                csr_t, n_hot_users, hot_iu, cold_iu, iu = f_iu.result()
+                ui_full = f_full.result()
+        else:
+            hot_ui, cold_ui, ui = chain_ui()
+            csr_t, n_hot_users, hot_iu, cold_iu, iu = chain_iu()
+            ui_full = chain_full()
         if n_hot_items or n_hot_users:
             logger.info("zipf-head split: %d hot items (%.0f%% nnz), "
                         "%d hot users (%.0f%% nnz)",
@@ -416,9 +450,6 @@ class WRMF(MatrixFactorizationRecommender):
             from ..parallel.mesh import shard_hot
             hot_ui = shard_hot(hot_ui, self.mesh)
             hot_iu = shard_hot(hot_iu, self.mesh)
-        iu = self._bucketize(cold_iu, incl or hot_iu is not None)
-        ui = (self._bucketize(cold_ui, incl or hot_ui is not None)
-              if (hot_ui is not None) else None)
         # pre-gather the hot rows into bucket order once: bucket order is
         # fixed for the whole fit, and the per-sweep W[ids] random gather
         # costs ~15% of the bench sweep (sparse/device.py hot_bucket_rows)
@@ -432,14 +463,14 @@ class WRMF(MatrixFactorizationRecommender):
         if hot_ui is not None:
             ui_hot_rows = hot_bucket_rows(hot_ui, ui.buckets, n_users)
             hot_ui = hot_ui._replace(W=hot_ui.W[:1])
-        ui_full = self._bucketize(csr, incl)
         if ui is None:
             ui = ui_full
         self._train_ui = ui_full
         nnz = max(csr.nnz, 1)
         self._cnt_u = jnp.asarray(np.diff(csr.indptr), jnp.float32)
-        csc = csr.tocsc()
-        self._cnt_i = jnp.asarray(np.diff(csc.indptr), jnp.float32)
+        # per-item counts come free from the transposed CSR (row counts of
+        # csr_t == column counts of csr) — no separate tocsc() transpose
+        self._cnt_i = jnp.asarray(np.diff(csr_t.indptr), jnp.float32)
         if self._multihost:
             from ..parallel.multihost import replicate
             self._cnt_u = replicate(self._cnt_u, self.mesh)
