@@ -30,7 +30,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import resolve_dtype
 from ..parallel.sgd_sharded import (
     DirectOps, ShardedOps, mesh_table_axes, replicate_on, shard_table)
-from ..sparse.device import bucket_rows_cached
 
 CLIP_VALUE = 100.0
 _DIRECT = DirectOps()
@@ -38,7 +37,7 @@ _DIRECT = DirectOps()
 
 def _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v, col_idx, values,
                    mask, y, sample_w, lr_w, lr_v, lam_w, lam_v, family: int,
-                   intercept: bool, do_update: bool):
+                   intercept: bool, do_update: bool, sched=None):
     """One padded row-block of FM predict (+optional update).
 
     w: (F+1,), v: (F+1, r) with a padding slot at index F.  Table access
@@ -79,14 +78,34 @@ def _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v, col_idx, values,
     g_v = jnp.clip(g_v, -CLIP_VALUE, CLIP_VALUE)
     g_v = jnp.where(mask[..., None], g_v, 0.0)
 
-    # accumulator-first AdaGrad: scatter squared grads, then re-gather the
+    # accumulator-first AdaGrad: fold squared grads in, then re-gather the
     # updated accumulators (duplicate features in a block see the summed
     # accumulator, matching the single-device .at[].add-then-index order)
-    acc_w = ops.scatter_add(acc_w, col_idx, g_w * g_w)
-    acc_v = ops.scatter_add(acc_v, col_idx, g_v * g_v)
-    aw, av = ops.gather_many([(acc_w, col_idx), (acc_v, col_idx)])
-    w = ops.scatter_add(w, col_idx, -lr_w * g_w / jnp.sqrt(aw))
-    v = ops.scatter_add(v, col_idx, -lr_v * g_v / jnp.sqrt(av))
+    if sched is not None:
+        # scatter-free path (ops/segsum.py): XLA serializes dynamic
+        # scatter-adds on TPU (measured ~10x behind the 16-thread CPU
+        # proxy, PERF.md round 4); the staged column schedule turns every
+        # table update into gathers + masked reductions + one dense add
+        from ..ops.segsum import segment_sum_scheduled
+        B, L = col_idx.shape
+        acc_w = ops.add_dense(
+            acc_w, segment_sum_scheduled((g_w * g_w).reshape(-1), sched))
+        acc_v = ops.add_dense(
+            acc_v, segment_sum_scheduled((g_v * g_v).reshape(B * L, -1),
+                                         sched))
+        aw, av = ops.gather_many([(acc_w, col_idx), (acc_v, col_idx)])
+        w = ops.add_dense(
+            w, segment_sum_scheduled((-lr_w * g_w / jnp.sqrt(aw)
+                                      ).reshape(-1), sched))
+        v = ops.add_dense(
+            v, segment_sum_scheduled((-lr_v * g_v / jnp.sqrt(av)
+                                      ).reshape(B * L, -1), sched))
+    else:
+        acc_w = ops.scatter_add(acc_w, col_idx, g_w * g_w)
+        acc_v = ops.scatter_add(acc_v, col_idx, g_v * g_v)
+        aw, av = ops.gather_many([(acc_w, col_idx), (acc_v, col_idx)])
+        w = ops.scatter_add(w, col_idx, -lr_w * g_w / jnp.sqrt(aw))
+        v = ops.scatter_add(v, col_idx, -lr_v * g_v / jnp.sqrt(av))
 
     return w0, acc_w0, w, v, acc_w, acc_v, y_hat
 
@@ -94,11 +113,11 @@ def _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v, col_idx, values,
 @partial(jax.jit, static_argnames=("family", "intercept", "do_update"),
          donate_argnums=(0, 1, 2, 3, 4, 5))
 def _fm_block(w0, acc_w0, w, v, acc_w, acc_v, col_idx, values, mask, y,
-              sample_w, lr_w, lr_v, lam_w, lam_v, family: int,
-              intercept: bool, do_update: bool):
+              sample_w, lr_w, lr_v, lam_w, lam_v, sched=None, *,
+              family: int, intercept: bool, do_update: bool):
     return _fm_block_impl(_DIRECT, w0, acc_w0, w, v, acc_w, acc_v, col_idx,
                           values, mask, y, sample_w, lr_w, lr_v, lam_w,
-                          lam_v, family, intercept, do_update)
+                          lam_v, family, intercept, do_update, sched)
 
 
 _SHARDED_FNS: dict = {}
@@ -114,14 +133,16 @@ def _sharded_fm_fn(mesh: Mesh, family: int, intercept: bool,
     ops = ShardedOps(axes)
     tab, rep = P(axes), P()
 
-    def body(w0, acc_w0, w, v, acc_w, acc_v, *rest):
-        return _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v, *rest,
-                              family=family, intercept=intercept,
-                              do_update=do_update)
+    def body(w0, acc_w0, w, v, acc_w, acc_v, col_idx, values, mask, y,
+             sample_w, lr_w, lr_v, lam_w, lam_v, sched):
+        return _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v,
+                              col_idx, values, mask, y, sample_w, lr_w,
+                              lr_v, lam_w, lam_v, family, intercept,
+                              do_update, sched)
 
     fn = jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(rep, rep, tab, tab, tab, tab) + (rep,) * 9,
+        in_specs=(rep, rep, tab, tab, tab, tab) + (rep,) * 10,
         out_specs=(rep, rep, tab, tab, tab, tab, rep), check_vma=False),
         donate_argnums=(0, 1, 2, 3, 4, 5))
     _SHARDED_FNS[key] = fn
@@ -216,8 +237,9 @@ class FactorizationMachine:
         weights = (np.ones(n_rows) if weights is None
                    else np.asarray(weights, np.float64))
 
-        br = bucket_rows_cached(csr, self.dtype, include_empty=True,
-                         max_elems=1 << 20)
+        from .ftrl import _staged_blocks
+        br, scheds = _staged_blocks(csr, self.dtype, self.n_features,
+                                    self.mesh)
         yd = jnp.asarray(y, self.dtype)
         wd = jnp.asarray(weights, self.dtype)
         if self.mesh is not None:
@@ -229,9 +251,7 @@ class FactorizationMachine:
                            intercept=self.intercept, do_update=do_update)
         y_hat = np.empty(n_rows, np.float64)
         outs = []  # defer device->host reads so dispatches pipeline
-        for b in br.buckets:
-            if self.mesh is not None:
-                b = replicate_on(self.mesh, b)
+        for b, sc in zip(br.buckets, scheds):
             rid = jnp.minimum(b.row_ids, n_rows - 1)
             # zero sample weight on batch-padding rows: dL carries sample_w,
             # so this kills their (otherwise unmasked) intercept/accumulator
@@ -243,7 +263,8 @@ class FactorizationMachine:
                 self.w0, self.acc_w0, self.w, self.v, self.acc_w, self.acc_v,
                 b.col_idx, b.values, b.mask(), yd[rid], w_valid,
                 self.learning_rate_w, self.learning_rate_v,
-                self.lambda_w, self.lambda_v)
+                self.lambda_w, self.lambda_v,
+                sc if do_update else None)
             outs.append((b.row_ids, yh))
         for row_ids, yh in outs:
             rows = np.asarray(row_ids)

@@ -30,11 +30,16 @@ from ..config import logger, resolve_dtype
 from ..parallel.sgd_sharded import (
     DirectOps, ShardedOps, mesh_table_axes, padded_rows, replicate_on,
     shard_table, unshard)
-from ..sparse.device import bucket_rows_cached
 
 _FAMILY_CODES = {"binomial": 1, "gaussian": 2, "poisson": 3}
 CLIP_GRAD = 1000.0
 _DIRECT = DirectOps()
+
+
+def _staged_blocks(csr, dtype, n_features: int, mesh):
+    from ..ops.segsum import staged_blocks_with_schedules
+    return staged_blocks_with_schedules(csr, dtype, n_features, mesh,
+                                        "glm_blocks")
 
 
 def _link(x, family: int):
@@ -55,10 +60,17 @@ def _lazy_weights(z, n, lr, decay, l1, l2):
 
 def _ftrl_block_impl(ops, z, n, col_idx, values, mask, y, sample_w,
                      dropout_key, lr, decay, l1, l2, dropout, family: int,
-                     do_update: bool):
+                     do_update: bool, sched=None):
     """One padded row-block update (or pure prediction).  Table access
     goes through ``ops`` (parallel/sgd_sharded.py): the same kernel runs
-    single-device and with (z, n) row-sharded under shard_map."""
+    single-device and with (z, n) row-sharded under shard_map.
+
+    ``sched`` (ops/segsum.py ColSchedule): scatter-free update path — XLA
+    lowers the dynamic scatter-adds into a serialized update stream on TPU
+    (~25x slower than the 16-thread CPU proxy, PERF.md round 4); with the
+    staged column schedule the update is gathers + masked reductions + one
+    dense table add instead.
+    """
     vals = jnp.where(mask, values, 0.0)
     if do_update:
         keep = jax.random.uniform(dropout_key, vals.shape) > dropout
@@ -78,18 +90,25 @@ def _ftrl_block_impl(ops, z, n, col_idx, values, mask, y, sample_w,
     g = jnp.where(mask, g, 0.0)
     g2 = g * g
     sigma = (jnp.sqrt(ng + g2) - jnp.sqrt(ng)) / lr
-    z = ops.scatter_add(z, col_idx, jnp.where(mask, g - sigma * w, 0.0))
-    n = ops.scatter_add(n, col_idx, g2)
+    uz = jnp.where(mask, g - sigma * w, 0.0)
+    if sched is not None:
+        from ..ops.segsum import segment_sum_scheduled
+        z = ops.add_dense(z, segment_sum_scheduled(uz.reshape(-1), sched))
+        n = ops.add_dense(n, segment_sum_scheduled(g2.reshape(-1), sched))
+    else:
+        z = ops.scatter_add(z, col_idx, uz)
+        n = ops.scatter_add(n, col_idx, g2)
     return z, n, y_hat
 
 
 @partial(jax.jit, static_argnames=("family", "do_update"),
          donate_argnums=(0, 1))
 def _ftrl_block(z, n, col_idx, values, mask, y, sample_w, dropout_key,
-                lr, decay, l1, l2, dropout, family: int, do_update: bool):
+                lr, decay, l1, l2, dropout, sched=None, *, family: int,
+                do_update: bool):
     return _ftrl_block_impl(_DIRECT, z, n, col_idx, values, mask, y,
                             sample_w, dropout_key, lr, decay, l1, l2,
-                            dropout, family, do_update)
+                            dropout, family, do_update, sched)
 
 
 _SHARDED_FNS: dict = {}
@@ -104,12 +123,14 @@ def _sharded_ftrl_fn(mesh: Mesh, family: int, do_update: bool):
     ops = ShardedOps(axes)
     tab, rep = P(axes), P()
 
-    def body(z, n, *rest):
-        return _ftrl_block_impl(ops, z, n, *rest, family=family,
-                                do_update=do_update)
+    def body(z, n, col_idx, values, mask, y, sample_w, dropout_key,
+             lr, decay, l1, l2, dropout, sched):
+        return _ftrl_block_impl(ops, z, n, col_idx, values, mask, y,
+                                sample_w, dropout_key, lr, decay, l1, l2,
+                                dropout, family, do_update, sched)
 
     fn = jax.jit(jax.shard_map(
-        body, mesh=mesh, in_specs=(tab, tab) + (rep,) * 11,
+        body, mesh=mesh, in_specs=(tab, tab) + (rep,) * 12,
         out_specs=(tab, tab, rep), check_vma=False),
         donate_argnums=(0, 1))
     _SHARDED_FNS[key] = fn
@@ -196,8 +217,8 @@ class FTRL:
         weights = (np.ones(n_rows) if weights is None
                    else np.asarray(weights, np.float64))
 
-        br = bucket_rows_cached(csr, self.dtype, include_empty=True,
-                         max_elems=1 << 20)
+        br, scheds = _staged_blocks(csr, self.dtype, self.n_features,
+                                    self.mesh)
         y_hat = np.empty(n_rows, np.float64)
         yd = jnp.asarray(y, self.dtype)
         wd = jnp.asarray(weights, self.dtype)
@@ -208,16 +229,17 @@ class FTRL:
             step = partial(_ftrl_block, family=self.family_code,
                            do_update=do_update)
         outs = []  # defer device->host reads so dispatches pipeline
-        for b in br.buckets:
+        for b, sc in zip(br.buckets, scheds):
             self._key, sub = jax.random.split(self._key)
             if self.mesh is not None:
-                b, sub = replicate_on(self.mesh, (b, sub))
+                sub = replicate_on(self.mesh, sub)
             rid = jnp.minimum(b.row_ids, n_rows - 1)
             self.z, self.n, yh = step(
                 self.z, self.n, b.col_idx, b.values, b.mask(),
                 yd[rid], wd[rid], sub,
                 self.learning_rate, self.learning_rate_decay,
-                self._l1, self._l2, self.dropout)
+                self._l1, self._l2, self.dropout,
+                sc if do_update else None)
             outs.append((b.row_ids, yh))
         for row_ids, yh in outs:
             rows = np.asarray(row_ids)

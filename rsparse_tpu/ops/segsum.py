@@ -1,0 +1,165 @@
+"""Scheduled segment-sum: scatter-free table updates for SGD models.
+
+The reference's FTRL/FM hot loops are per-row scatter updates into shared
+tables (reference src/FTRL.cpp:122-169, src/factorization_machine.cpp:
+112-194) — cheap on CPUs, pathological on TPU where XLA lowers dynamic
+scatter-add to a serialized update stream (measured 390k FTRL rows/s vs a
+~10M rows/s 16-thread CPU proxy, PERF.md round 4).
+
+The TPU-native replacement exploits that the minibatch *layout* is static:
+bucketed (B, L) blocks are staged once per fit, so the flat position of
+every (sample, feature) pair is known on the host.  Staging builds a
+**column schedule** — for each feature, the padded list of flat positions
+where it occurs — and the update becomes three TPU-friendly ops:
+
+    per-nnz updates  u = f(gathered z/n, x, y)       (B, L)   elementwise
+    per-feature sums s_f = sum u[positions_f]        gather + masked reduce
+    table update     T += s[inv_perm]                static gather + add
+
+No dynamic scatter anywhere: ``positions`` and ``inv_perm`` are staged
+int32 arrays, the reduction is a dense masked row-sum, and the table
+update is a full-table elementwise add (tables live happily in VMEM at
+GLM scale).  Sums match scatter-add up to f32 summation order.
+
+Features are bucketed by occurrence count on the same geometric grid as
+the row substrate (sparse/device.py), so wildly-popular features don't
+force padding on rare ones.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sparse.device import _length_grid, _round_up
+
+
+class ColSchedule(NamedTuple):
+    """Device-resident column schedule of one (B, L) block.
+
+    ``pos[k]``: (Bk, Lk) int32 flat positions (into the block's B*L flat
+    axis) of each scheduled feature's occurrences; padding entries hold
+    ``n_flat`` (masked by ``nnz``).  ``inv``: (table_rows,) int32 mapping
+    each table row to its row in the concatenated per-bucket sums (+ one
+    trailing zero row for features absent from the block).
+    """
+
+    pos: Tuple[jax.Array, ...]
+    nnz: Tuple[jax.Array, ...]
+    inv: jax.Array
+
+
+def build_col_schedule(
+    col_flat: np.ndarray,
+    table_rows: int,
+    *,
+    min_len: int = 8,
+    length_ratio: float = 2.0,
+    row_align: int = 8,
+    max_buckets: int = 8,
+) -> ColSchedule:
+    """Build the column schedule of one block from its flat column ids.
+
+    ``col_flat`` (n_flat,) int32; masked padding entries may point at any
+    column (their update values are zero, so their sums are no-ops).
+    ``table_rows`` is the (mesh-padded) table row count the dense delta
+    must cover.
+    """
+    n_flat = int(col_flat.size)
+    order = np.argsort(col_flat, kind="stable").astype(np.int64)
+    counts = np.bincount(col_flat, minlength=table_rows).astype(np.int64)
+    starts = np.zeros(table_rows + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    active = np.flatnonzero(counts).astype(np.int64)
+    if active.size == 0:
+        return ColSchedule((), (), jnp.zeros((table_rows,), jnp.int32))
+    occ = counts[active]
+
+    grid = _length_grid(min_len, int(occ.max()), length_ratio)
+    lengths = grid[np.searchsorted(grid, occ)]
+    uniq, ucounts = np.unique(lengths, return_counts=True)
+    while len(uniq) > max_buckets:
+        k = int(np.argmin(ucounts[:-1]))
+        lengths[lengths == uniq[k]] = uniq[k + 1]
+        uniq, ucounts = np.unique(lengths, return_counts=True)
+
+    pos_out: List[jax.Array] = []
+    nnz_out: List[jax.Array] = []
+    inv = np.full((table_rows,), 0, np.int32)
+    offset = 0
+    for L in uniq:
+        L = int(L)
+        feats = active[lengths == L]
+        B = _round_up(len(feats), row_align)
+        nnz = np.zeros((B,), np.int32)
+        nnz[: len(feats)] = counts[feats]
+        flat = starts[feats][:, None] + np.arange(L)[None, :]
+        valid = np.arange(L)[None, :] < counts[feats][:, None]
+        pos = np.full((B, L), n_flat, np.int32)
+        pos[: len(feats)] = np.where(
+            valid, order[np.minimum(flat, n_flat - 1)], n_flat)
+        inv[feats] = offset + np.arange(len(feats), dtype=np.int32)
+        offset += B
+        pos_out.append(jnp.asarray(pos))
+        nnz_out.append(jnp.asarray(nnz))
+    # absent features read the trailing zero row of the concatenated sums
+    inv_final = np.full((table_rows,), offset, np.int32)
+    inv_final[active] = inv[active]
+    return ColSchedule(tuple(pos_out), tuple(nnz_out),
+                       jnp.asarray(inv_final))
+
+
+def staged_blocks_with_schedules(csr, dtype, n_features: int, mesh,
+                                 tag: str, max_elems: int = 1 << 20):
+    """Content-cached staging of the GLM row blocks + column schedules.
+
+    Returns ``(BucketedRows, (ColSchedule, ...))`` aligned by bucket; under
+    a mesh both are fully replicated (the delta covers the mesh-padded
+    table rows, so ``ops.add_dense`` can slice per shard)."""
+    from ..parallel.sgd_sharded import padded_rows, replicate_on
+    from ..sparse.device import (BucketedRows, RowBucket, bucket_rows,
+                                 staged_cached)
+
+    table_rows = (padded_rows(n_features + 1, mesh)
+                  if mesh is not None else n_features + 1)
+
+    def build():
+        host_out: list = []
+        br = bucket_rows(csr, dtype, include_empty=True,
+                         max_elems=max_elems, host_out=host_out)
+        scheds = tuple(build_col_schedule(c.reshape(-1), table_rows)
+                       for c, _ in host_out)
+        if mesh is not None:
+            bks = tuple(RowBucket(*replicate_on(mesh, tuple(b)))
+                        for b in br.buckets)
+            br = BucketedRows(bks, br.n_rows, br.n_cols, br.nnz,
+                              br.empty_rows)
+            scheds = replicate_on(mesh, scheds)
+        return br, scheds
+
+    return staged_cached(tag, csr, build,
+                         extra=(str(jnp.dtype(dtype)), mesh, max_elems))
+
+
+def segment_sum_scheduled(u_flat: jax.Array, sched: ColSchedule
+                          ) -> jax.Array:
+    """Dense per-feature sums of flat per-nnz updates.
+
+    ``u_flat``: (n_flat,) or (n_flat, r).  Returns (table_rows,) or
+    (table_rows, r) — exactly ``zeros.at[col_flat].add(u_flat)`` up to f32
+    summation order, with zero dynamic scatters.
+    """
+    n_flat = u_flat.shape[0]
+    outs = []
+    for pos, nnz in zip(sched.pos, sched.nnz):
+        g = u_flat[jnp.minimum(pos, n_flat - 1)]        # (B, L[, r])
+        m = jax.lax.broadcasted_iota(jnp.int32, pos.shape, 1) < nnz[:, None]
+        if u_flat.ndim == 2:
+            m = m[..., None]
+        outs.append(jnp.sum(jnp.where(m, g, 0), axis=1))
+    zero = jnp.zeros((1,) + u_flat.shape[1:], u_flat.dtype)
+    cat = jnp.concatenate(list(outs) + [zero], axis=0)
+    return cat[sched.inv]

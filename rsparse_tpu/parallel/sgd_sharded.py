@@ -62,6 +62,11 @@ class DirectOps:
     def scatter_add(self, table, ids, upd) -> jax.Array:
         return table.at[ids].add(upd)
 
+    def add_dense(self, table, delta) -> jax.Array:
+        """table += delta where delta covers the table's full (global)
+        row range — the scatter-free update of ops/segsum.py."""
+        return table + delta
+
 
 class ShardedOps:
     """Table ops inside a ``shard_map`` region over mesh axes ``axes``.
@@ -108,6 +113,14 @@ class ShardedOps:
         safe, ok = self._local(table, ids)
         okb = ok.reshape(ok.shape + (1,) * (upd.ndim - ok.ndim))
         return table.at[safe].add(jnp.where(okb, upd, 0))
+
+    def add_dense(self, table, delta):
+        """Local shard += its slice of the replicated global delta (the
+        delta is computed replicated from replicated batch data, so each
+        shard just takes its own row window — no collective needed)."""
+        per = table.shape[0]
+        start = self._linear_index() * per
+        return table + jax.lax.dynamic_slice_in_dim(delta, start, per, 0)
 
 
 # -- host-side staging helpers ------------------------------------------------

@@ -101,8 +101,15 @@ def bucket_rows(
     length_ratio: float = 1.25,
     include_empty: bool = False,
     max_elems: Optional[int] = 1 << 22,
+    host_out: Optional[list] = None,
 ) -> BucketedRows:
     """Build a :class:`BucketedRows` from a scipy sparse matrix.
+
+    ``host_out``: optional list; when given, the HOST-side
+    ``(col_idx, nnz)`` numpy arrays of each bucket are appended to it (in
+    bucket order) before device transfer — consumers like the column
+    scheduler (ops/segsum.py) need them without paying a device->host
+    readback.
 
     Rows are grouped by padded length from a geometric grid with step
     ``length_ratio`` (2.0 = classic power-of-two); the number of distinct
@@ -179,6 +186,8 @@ def bucket_rows(
                 else:
                     col_idx = np.zeros((B, L), np.int32)
                     values = np.zeros((B, L), np_val_dtype)
+            if host_out is not None:
+                host_out.append((col_idx, nnz_arr))
             buckets.append(RowBucket(
                 row_ids=jnp.asarray(row_ids),
                 col_idx=jnp.asarray(col_idx),
