@@ -403,9 +403,11 @@ def measure_ftrl_fm(n_rows=100_000, n_feat=10_000, nnz_per_row=32, seed=0,
         t0 = time.time()
         m.partial_fit(x, truth)
         log(f"{name} first pass (compile): {time.time()-t0:.1f}s")
+        # sustained: fit() materializes only the final pass's in-pass
+        # predictions (a 0.4 MB device->host read costs ~120 ms through
+        # the bench relay; real hosts pay PCIe, not a tunnel)
         t0 = time.time()
-        for _ in range(reps):
-            m.partial_fit(x, truth)
+        m.fit(x, truth, n_iter=reps)
         dt = (time.time() - t0) / reps
         acc = float(((m.predict(x) > 0.5) == truth).mean())
         log(f"{name}: {n_rows/dt:,.0f} rows/s "

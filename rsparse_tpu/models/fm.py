@@ -36,14 +36,24 @@ _DIRECT = DirectOps()
 
 
 def _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v, col_idx, values,
-                   mask, y, sample_w, lr_w, lr_v, lam_w, lam_v, family: int,
-                   intercept: bool, do_update: bool, sched=None):
+                   mask, y, sample_w, lr_w, lr_v, lam_w, lam_v,
+                   family: int, intercept: bool, do_update: bool,
+                   sched=None):
     """One padded row-block of FM predict (+optional update).
 
-    w: (F+1,), v: (F+1, r) with a padding slot at index F.  Table access
-    goes through ``ops`` (parallel/sgd_sharded.py): the same kernel runs
-    single-device and with (w, v, acc_w, acc_v) row-sharded under
-    shard_map; (w0, acc_w0) are scalars, updated replicated.
+    w: (F+1,), v: (F+1, r) with a padding slot at index F, kept as
+    SEPARATE tables: TPU tiles 2-D arrays to (8, 128) blocks, so packing
+    everything into one narrow-minor-dim table physically pads the minor
+    dim to 128 lanes (a (40M, 2) f32 copy measured at 20.5 GB, PERF.md
+    round 4).  Table access goes through ``ops``
+    (parallel/sgd_sharded.py): same kernel single-device or row-sharded;
+    (w0, acc_w0) are scalars, updated replicated.
+
+    With ``sched`` (ops/segsum.py) the 1-D tables (w, acc_w) update
+    scatter-free (scheduled segment-sum + dense add — dense 1-D adds are
+    cheap at any F); the (F, r) tables keep row-granular scatter-adds,
+    whose full-table dense alternative would write the 128-lane-padded
+    (F, r) array twice per phase.
     """
     x = jnp.where(mask, values, 0.0)                    # (B, L)
     wg, vg = ops.gather_many([(w, col_idx), (v, col_idx)])  # (B,L),(B,L,r)
@@ -82,30 +92,20 @@ def _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v, col_idx, values,
     # updated accumulators (duplicate features in a block see the summed
     # accumulator, matching the single-device .at[].add-then-index order)
     if sched is not None:
-        # scatter-free path (ops/segsum.py): XLA serializes dynamic
-        # scatter-adds on TPU (measured ~10x behind the 16-thread CPU
-        # proxy, PERF.md round 4); the staged column schedule turns every
-        # table update into gathers + masked reductions + one dense add
         from ..ops.segsum import segment_sum_scheduled
-        B, L = col_idx.shape
         acc_w = ops.add_dense(
             acc_w, segment_sum_scheduled((g_w * g_w).reshape(-1), sched))
-        acc_v = ops.add_dense(
-            acc_v, segment_sum_scheduled((g_v * g_v).reshape(B * L, -1),
-                                         sched))
-        aw, av = ops.gather_many([(acc_w, col_idx), (acc_v, col_idx)])
+    else:
+        acc_w = ops.scatter_add(acc_w, col_idx, g_w * g_w)
+    acc_v = ops.scatter_add(acc_v, col_idx, g_v * g_v)
+    aw, av = ops.gather_many([(acc_w, col_idx), (acc_v, col_idx)])
+    if sched is not None:
         w = ops.add_dense(
             w, segment_sum_scheduled((-lr_w * g_w / jnp.sqrt(aw)
                                       ).reshape(-1), sched))
-        v = ops.add_dense(
-            v, segment_sum_scheduled((-lr_v * g_v / jnp.sqrt(av)
-                                      ).reshape(B * L, -1), sched))
     else:
-        acc_w = ops.scatter_add(acc_w, col_idx, g_w * g_w)
-        acc_v = ops.scatter_add(acc_v, col_idx, g_v * g_v)
-        aw, av = ops.gather_many([(acc_w, col_idx), (acc_v, col_idx)])
         w = ops.scatter_add(w, col_idx, -lr_w * g_w / jnp.sqrt(aw))
-        v = ops.scatter_add(v, col_idx, -lr_v * g_v / jnp.sqrt(av))
+    v = ops.scatter_add(v, col_idx, -lr_v * g_v / jnp.sqrt(av))
 
     return w0, acc_w0, w, v, acc_w, acc_v, y_hat
 
@@ -115,9 +115,10 @@ def _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v, col_idx, values,
 def _fm_block(w0, acc_w0, w, v, acc_w, acc_v, col_idx, values, mask, y,
               sample_w, lr_w, lr_v, lam_w, lam_v, sched=None, *,
               family: int, intercept: bool, do_update: bool):
-    return _fm_block_impl(_DIRECT, w0, acc_w0, w, v, acc_w, acc_v, col_idx,
-                          values, mask, y, sample_w, lr_w, lr_v, lam_w,
-                          lam_v, family, intercept, do_update, sched)
+    return _fm_block_impl(_DIRECT, w0, acc_w0, w, v, acc_w, acc_v,
+                          col_idx, values, mask, y, sample_w, lr_w, lr_v,
+                          lam_w, lam_v, family, intercept, do_update,
+                          sched)
 
 
 _SHARDED_FNS: dict = {}
@@ -216,7 +217,8 @@ class FactorizationMachine:
         elif n_features != self.n_features:
             raise ValueError("feature count mismatch with fitted model")
 
-    def _run(self, x, y=None, weights=None, do_update=False):
+    def _run(self, x, y=None, weights=None, do_update=False,
+             materialize=True):
         csr = sp.csr_matrix(x)
         if np.isnan(csr.data).any():
             raise ValueError("NA's in input matrix are not allowed")
@@ -237,35 +239,38 @@ class FactorizationMachine:
         weights = (np.ones(n_rows) if weights is None
                    else np.asarray(weights, np.float64))
 
+        from ..ops.segsum import staged_label_gathers
         from .ftrl import _staged_blocks
-        br, scheds = _staged_blocks(csr, self.dtype, self.n_features,
-                                    self.mesh)
-        yd = jnp.asarray(y, self.dtype)
-        wd = jnp.asarray(weights, self.dtype)
+        br, scheds, masks = _staged_blocks(csr, self.dtype,
+                                           self.n_features, self.mesh)
+        # zero sample weight on batch-padding rows: dL carries sample_w,
+        # so this kills their (otherwise unmasked) intercept/accumulator
+        # contributions — the reference updates w0 once per REAL sample
+        # (src/factorization_machine.cpp:147-149)
+        labels = staged_label_gathers("fm_y", csr, y, weights, br,
+                                      self.dtype, self.mesh,
+                                      zero_pad_weight=True)
         if self.mesh is not None:
             step = _sharded_fm_fn(self.mesh, self.family_code,
                                   self.intercept, do_update)
-            yd, wd = replicate_on(self.mesh, (yd, wd))
         else:
             step = partial(_fm_block, family=self.family_code,
                            intercept=self.intercept, do_update=do_update)
         y_hat = np.empty(n_rows, np.float64)
         outs = []  # defer device->host reads so dispatches pipeline
-        for b, sc in zip(br.buckets, scheds):
-            rid = jnp.minimum(b.row_ids, n_rows - 1)
-            # zero sample weight on batch-padding rows: dL carries sample_w,
-            # so this kills their (otherwise unmasked) intercept/accumulator
-            # contributions — the reference updates w0 once per REAL sample
-            # (src/factorization_machine.cpp:147-149)
-            w_valid = jnp.where(b.row_ids < n_rows, wd[rid], 0.0)
+        for b, sc, mk, (y_b, w_b) in zip(br.buckets, scheds, masks, labels):
             (self.w0, self.acc_w0, self.w, self.v, self.acc_w, self.acc_v,
              yh) = step(
-                self.w0, self.acc_w0, self.w, self.v, self.acc_w, self.acc_v,
-                b.col_idx, b.values, b.mask(), yd[rid], w_valid,
+                self.w0, self.acc_w0, self.w, self.v, self.acc_w,
+                self.acc_v, b.col_idx, b.values, mk, y_b, w_b,
                 self.learning_rate_w, self.learning_rate_v,
                 self.lambda_w, self.lambda_v,
                 sc if do_update else None)
             outs.append((b.row_ids, yh))
+        if not materialize:
+            # mid-fit pass: predictions discarded by the caller; skip the
+            # device->host transfer (30 MB/s on the bench relay)
+            return None
         for row_ids, yh in outs:
             rows = np.asarray(row_ids)
             keep = rows < n_rows
@@ -278,8 +283,10 @@ class FactorizationMachine:
     def fit(self, x, y, weights=None, n_iter: int = 1) -> np.ndarray:
         if n_iter < 1:
             raise ValueError("n_iter must be >= 1")
-        for _ in range(n_iter):
-            out = self.partial_fit(x, y, weights)
+        for i in range(n_iter):
+            # only the final pass's predictions are materialized
+            out = self._run(x, y, weights, do_update=True,
+                            materialize=(i == n_iter - 1))
         return out
 
     def predict(self, x) -> np.ndarray:

@@ -37,9 +37,12 @@ _DIRECT = DirectOps()
 
 
 def _staged_blocks(csr, dtype, n_features: int, mesh):
+    # 1<<20-element blocks: the flat update operand stays ~8 MB, small
+    # enough that the scheduled segment-sum's gathers hit cache instead of
+    # cold HBM (4x block growth measured 3x SLOWER per row, PERF.md r4)
     from ..ops.segsum import staged_blocks_with_schedules
     return staged_blocks_with_schedules(csr, dtype, n_features, mesh,
-                                        "glm_blocks")
+                                        "glm_blocks", max_elems=1 << 20)
 
 
 def _link(x, family: int):
@@ -60,19 +63,28 @@ def _lazy_weights(z, n, lr, decay, l1, l2):
 
 def _ftrl_block_impl(ops, z, n, col_idx, values, mask, y, sample_w,
                      dropout_key, lr, decay, l1, l2, dropout, family: int,
-                     do_update: bool, sched=None):
-    """One padded row-block update (or pure prediction).  Table access
-    goes through ``ops`` (parallel/sgd_sharded.py): the same kernel runs
-    single-device and with (z, n) row-sharded under shard_map.
+                     do_update: bool, use_dropout: bool, sched=None):
+    """One padded row-block update (or pure prediction).
 
-    ``sched`` (ops/segsum.py ColSchedule): scatter-free update path — XLA
-    lowers the dynamic scatter-adds into a serialized update stream on TPU
-    (~25x slower than the 16-thread CPU proxy, PERF.md round 4); with the
-    staged column schedule the update is gathers + masked reductions + one
-    dense table add instead.
+    z and n stay SEPARATE 1-D tables: TPU tiles 2-D arrays to (8, 128)
+    blocks, so a packed (F, 2) table physically occupies (F, 128) — a 64x
+    memory blowup that OOMs at 40M features (measured: a (40M, 2) f32
+    copy allocated 20.5 GB, PERF.md round 4).  1-D arrays pack lanes
+    densely.  Table access goes through ``ops``
+    (parallel/sgd_sharded.py): the same kernel runs single-device and
+    row-sharded under shard_map.
+
+    ``sched`` (ops/segsum.py ColSchedule): scatter-free update — each
+    table's delta reduces through a scheduled 1-D segment-sum and applies
+    as a dense table add (TPU scatter-add runs at ~106M update rows/s vs
+    ~400M gather rows/s).
+
+    ``use_dropout`` must be False when dropout == 0: the (B, L) uniform
+    draw is a threefry evaluation per nnz and costs more than the whole
+    elementwise chain.
     """
     vals = jnp.where(mask, values, 0.0)
-    if do_update:
+    if do_update and use_dropout:
         keep = jax.random.uniform(dropout_key, vals.shape) > dropout
         scale = 1.0 / (1.0 - dropout)
         vals = jnp.where(keep, vals * scale, 0.0)
@@ -101,21 +113,22 @@ def _ftrl_block_impl(ops, z, n, col_idx, values, mask, y, sample_w,
     return z, n, y_hat
 
 
-@partial(jax.jit, static_argnames=("family", "do_update"),
+@partial(jax.jit, static_argnames=("family", "do_update", "use_dropout"),
          donate_argnums=(0, 1))
 def _ftrl_block(z, n, col_idx, values, mask, y, sample_w, dropout_key,
                 lr, decay, l1, l2, dropout, sched=None, *, family: int,
-                do_update: bool):
+                do_update: bool, use_dropout: bool):
     return _ftrl_block_impl(_DIRECT, z, n, col_idx, values, mask, y,
                             sample_w, dropout_key, lr, decay, l1, l2,
-                            dropout, family, do_update, sched)
+                            dropout, family, do_update, use_dropout, sched)
 
 
 _SHARDED_FNS: dict = {}
 
 
-def _sharded_ftrl_fn(mesh: Mesh, family: int, do_update: bool):
-    key = (mesh, family, do_update)
+def _sharded_ftrl_fn(mesh: Mesh, family: int, do_update: bool,
+                     use_dropout: bool):
+    key = (mesh, family, do_update, use_dropout)
     fn = _SHARDED_FNS.get(key)
     if fn is not None:
         return fn
@@ -127,7 +140,8 @@ def _sharded_ftrl_fn(mesh: Mesh, family: int, do_update: bool):
              lr, decay, l1, l2, dropout, sched):
         return _ftrl_block_impl(ops, z, n, col_idx, values, mask, y,
                                 sample_w, dropout_key, lr, decay, l1, l2,
-                                dropout, family, do_update, sched)
+                                dropout, family, do_update, use_dropout,
+                                sched)
 
     fn = jax.jit(jax.shard_map(
         body, mesh=mesh, in_specs=(tab, tab) + (rep,) * 12,
@@ -175,9 +189,9 @@ class FTRL:
         self.z = None
         self.n = None
         #: device mesh: when set, the (z, n) state is row-sharded over the
-        #: mesh's data axes (the TPU-native replacement for the reference's
-        #: hogwild shared state, src/FTRL.cpp:122-125); padded row blocks
-        #: are replicated.  See parallel/sgd_sharded.py.
+        #: mesh's data axes (the TPU-native replacement for the
+        #: reference's hogwild shared state, src/FTRL.cpp:122-125); padded
+        #: row blocks are replicated.  See parallel/sgd_sharded.py.
         self.mesh = mesh
         self._key = jax.random.PRNGKey(seed if seed is not None else 0)
 
@@ -192,20 +206,19 @@ class FTRL:
     def _ensure_state(self, n_features: int):
         if self.n_features is None:
             self.n_features = n_features
+            z = jnp.zeros((n_features + 1,), self.dtype)
+            n = jnp.zeros((n_features + 1,), self.dtype)
             if self.mesh is not None:
-                self.z = shard_table(jnp.zeros((n_features + 1,),
-                                               self.dtype), self.mesh)
-                self.n = shard_table(jnp.zeros((n_features + 1,),
-                                               self.dtype), self.mesh)
-            else:
-                self.z = jnp.zeros((n_features + 1,), self.dtype)
-                self.n = jnp.zeros((n_features + 1,), self.dtype)
+                z = shard_table(z, self.mesh)
+                n = shard_table(n, self.mesh)
+            self.z, self.n = z, n
         elif n_features != self.n_features:
             raise ValueError(
                 f"feature count mismatch: model has {self.n_features}, "
                 f"input has {n_features}")
 
-    def _run(self, x: sp.spmatrix, y=None, weights=None, do_update=False):
+    def _run(self, x: sp.spmatrix, y=None, weights=None, do_update=False,
+             materialize=True):
         csr = sp.csr_matrix(x)
         if np.isnan(csr.data).any():
             raise ValueError("NA's in input matrix are not allowed")
@@ -217,30 +230,35 @@ class FTRL:
         weights = (np.ones(n_rows) if weights is None
                    else np.asarray(weights, np.float64))
 
-        br, scheds = _staged_blocks(csr, self.dtype, self.n_features,
-                                    self.mesh)
+        br, scheds, masks = _staged_blocks(csr, self.dtype,
+                                           self.n_features, self.mesh)
+        from ..ops.segsum import staged_label_gathers
+        labels = staged_label_gathers("ftrl_y", csr, y, weights, br,
+                                      self.dtype, self.mesh,
+                                      zero_pad_weight=False)
         y_hat = np.empty(n_rows, np.float64)
-        yd = jnp.asarray(y, self.dtype)
-        wd = jnp.asarray(weights, self.dtype)
+        use_dropout = self.dropout > 0
         if self.mesh is not None:
-            step = _sharded_ftrl_fn(self.mesh, self.family_code, do_update)
-            yd, wd = replicate_on(self.mesh, (yd, wd))
+            step = _sharded_ftrl_fn(self.mesh, self.family_code, do_update,
+                                    use_dropout)
         else:
             step = partial(_ftrl_block, family=self.family_code,
-                           do_update=do_update)
+                           do_update=do_update, use_dropout=use_dropout)
         outs = []  # defer device->host reads so dispatches pipeline
-        for b, sc in zip(br.buckets, scheds):
+        for b, sc, mk, (y_b, w_b) in zip(br.buckets, scheds, masks, labels):
             self._key, sub = jax.random.split(self._key)
             if self.mesh is not None:
                 sub = replicate_on(self.mesh, sub)
-            rid = jnp.minimum(b.row_ids, n_rows - 1)
             self.z, self.n, yh = step(
-                self.z, self.n, b.col_idx, b.values, b.mask(),
-                yd[rid], wd[rid], sub,
+                self.z, self.n, b.col_idx, b.values, mk, y_b, w_b, sub,
                 self.learning_rate, self.learning_rate_decay,
                 self._l1, self._l2, self.dropout,
                 sc if do_update else None)
             outs.append((b.row_ids, yh))
+        if not materialize:
+            # mid-fit pass: the caller discards the predictions; skip the
+            # device->host transfer (30 MB/s on the bench relay)
+            return None
         for row_ids, yh in outs:
             rows = np.asarray(row_ids)
             keep = rows < n_rows
@@ -256,7 +274,10 @@ class FTRL:
             raise ValueError("n_iter must be >= 1")
         for i in range(n_iter):
             logger.debug("FTRL iter %03d", i + 1)
-            out = self.partial_fit(x, y, weights)
+            # only the final pass's in-pass predictions are returned;
+            # intermediate ones skip the device->host transfer
+            out = self._run(x, y, weights, do_update=True,
+                            materialize=(i == n_iter - 1))
         return out
 
     def predict(self, x: sp.spmatrix) -> np.ndarray:
@@ -300,6 +321,6 @@ class FTRL:
                 lambda_=d["lambda"], l1_ratio=d["l1_ratio"],
                 dropout=d["dropout"], family=d["family"])
         m.n_features = d["n_features"]
-        m.z = jnp.asarray(d["z"])
-        m.n = jnp.asarray(d["n"])
+        m.z = jnp.asarray(d["z"], m.dtype)
+        m.n = jnp.asarray(d["n"], m.dtype)
         return m

@@ -44,6 +44,7 @@ from .base import MatrixFactorizationRecommender, get_names
 
 _DIRECT = DirectOps()
 ADAGRAD, RMSPROP = 0, 1
+_MAX_PROBE = 8        # hash-set probe window (build_user_hash guarantees)
 BPR, WARP = 0, 1
 IDENTITY, SIGMOID = 0, 1
 EPS = 1e-10
@@ -85,6 +86,85 @@ def _combine(ops, emb: jax.Array, feats: _Feats, ids: jax.Array
     return jnp.einsum("...f,...fr->...r", fv, ops.gather(emb, fi))
 
 
+_HASH_MULT = np.uint32(2654435761)      # Knuth multiplicative hash
+
+
+def build_user_hash(csr: sp.csr_matrix, max_probe: int = 8):
+    """Per-user open-addressed hash sets of the positive items.
+
+    The reference rejection-samples negatives with a per-sample binary
+    search (src/rankmf.cpp:36-56); the TPU port of that search is a
+    12-round sequential ``fori_loop`` of (S, K) gathers and was measured
+    at 15.5 ms of a 19 ms batch (PERF.md round 4).  A staged hash set
+    answers the same membership query with ONE parallel (S, K, P) gather.
+
+    Each user u gets a power-of-two capacity ``cap_u >= 4 * nnz_u`` (load
+    <= 0.25) with linear probing; capacities double until every item sits
+    within ``max_probe`` slots of its home, so the device probe is a
+    fixed-size window.  Empty slots hold -1.  The build is vectorized
+    over all nnz (at most ``max_probe`` claim rounds of argsort/unique).
+
+    Returns ``(table (T,) int32, off (n_user,) int32, mask (n_user,)
+    int32)`` with ``mask = cap - 1``.
+    """
+    n_user = csr.shape[0]
+    nnz = np.diff(csr.indptr).astype(np.int64)
+    caps = np.maximum(4, 2 ** np.ceil(
+        np.log2(np.maximum(4 * nnz, 1))).astype(np.int64))
+    items_all = csr.indices.astype(np.uint32)
+    users_all = np.repeat(np.arange(n_user, dtype=np.int64), nnz)
+    h_all = (items_all * _HASH_MULT).astype(np.uint32)
+
+    while True:
+        off = np.zeros(n_user + 1, np.int64)
+        np.cumsum(caps, out=off[1:])
+        total = int(off[-1])
+        if total >= (1 << 31):
+            raise MemoryError("user hash table exceeds int32 indexing")
+        table = np.full(total, -1, np.int32)
+        pend_pos = off[users_all] + (h_all & (caps[users_all] - 1)
+                                     .astype(np.uint32))
+        pend_item = items_all.astype(np.int32)
+        pend_user = users_all
+        overflow = None
+        for _ in range(max_probe):
+            if pend_pos.size == 0:
+                break
+            # first pending claimant of each still-empty slot wins
+            order = np.argsort(pend_pos, kind="stable")
+            pos_s = pend_pos[order]
+            first = np.ones(len(pos_s), bool)
+            first[1:] = pos_s[1:] != pos_s[:-1]
+            win = first & (table[pos_s] == -1)
+            table[pos_s[win]] = pend_item[order[win]]
+            lose = order[~win]
+            # losers advance one slot (wrapping within the user's window)
+            u = pend_user[lose]
+            base = off[u]
+            nxt = base + ((pend_pos[lose] - base + 1)
+                          & (caps[u] - 1))
+            pend_pos, pend_item, pend_user = nxt, pend_item[lose], u
+        else:
+            overflow = np.unique(pend_user)
+        if overflow is None or overflow.size == 0:
+            return (jnp.asarray(table), jnp.asarray(off[:-1], jnp.int32),
+                    jnp.asarray((caps - 1), jnp.int32))
+        caps[overflow] *= 2     # rare: a probe chain exceeded max_probe
+
+
+def _in_hash_set(table, off, capmask, u, queries, max_probe: int):
+    """Membership of queries[s, k] in user u[s]'s hash set — one parallel
+    (S, K, P) gather, no sequential rounds."""
+    h = (queries.astype(jnp.uint32) * _HASH_MULT).astype(jnp.uint32)
+    m = capmask[u][:, None].astype(jnp.uint32)          # (S, 1)
+    base = off[u][:, None]                              # (S, 1)
+    probes = jnp.arange(max_probe, dtype=jnp.uint32)
+    pos = base[..., None] + ((h[..., None] + probes) & m[..., None]
+                             ).astype(jnp.int32)        # (S, K, P)
+    got = table[pos]
+    return jnp.any(got == queries[..., None], axis=-1)
+
+
 def _in_sorted_segment(flat_idx, p1, nnz, queries, n_steps: int):
     """Vectorized binary search: is queries[s, k] present in the sorted
     segment flat_idx[p1[s] : p1[s]+nnz[s]]?  (src/rankmf.cpp:36-56)"""
@@ -107,14 +187,15 @@ def _in_sorted_segment(flat_idx, p1, nnz, queries, n_steps: int):
 
 
 def _rankmf_batch(ops, W, H, accW, accH, key, flat_idx, indptr, row_nnz,
-                  uf: _Feats, itf: _Feats, lr, gamma, lam_u, lam_ip, lam_in,
-                  margin, cfg, n_item: int, bs_steps: int):
+                  uhash, uf: _Feats, itf: _Feats, lr, gamma, lam_u, lam_ip,
+                  lam_in, margin, cfg, n_item: int, bs_steps: int):
     """One minibatch of pairwise updates (cfg = (S, K, loss, kernel,
     optimizer, update_items)).  Factor-table access goes through ``ops``
     (parallel/sgd_sharded.py): W/H/accW/accH may be row-sharded under
-    shard_map; the interaction CSR (flat_idx/indptr/row_nnz) and feature
-    metadata are replicated, so sampling and the positive-set binary
-    search stay collective-free."""
+    shard_map; the interaction CSR (flat_idx/indptr/row_nnz), the
+    positive-set hash tables (``uhash``) and feature metadata are
+    replicated, so sampling and the membership test stay collective-free.
+    """
     S, K, loss_kind, kernel, optimizer, update_items = cfg
     lr = jnp.asarray(lr, W.dtype)
     gamma = jnp.asarray(gamma, W.dtype)
@@ -136,7 +217,10 @@ def _rankmf_batch(ops, W, H, accW, accH, key, flat_idx, indptr, row_nnz,
     h_i = _combine(ops, H, itf, i)
 
     j_cand = jax.random.randint(k_n, (S, K), 0, n_item)
-    is_neg = ~_in_sorted_segment(flat_idx, p1, nnz_u, j_cand, bs_steps)
+    if uhash is not None:
+        is_neg = ~_in_hash_set(*uhash, u, j_cand, bs_steps)
+    else:
+        is_neg = ~_in_sorted_segment(flat_idx, p1, nnz_u, j_cand, bs_steps)
 
     h_j_all = _combine(ops, H, itf, j_cand)  # (S, K, r)
     r_ui = jnp.sum(w_u * h_i, axis=1)       # (S,)
@@ -226,8 +310,8 @@ def _rankmf_batch(ops, W, H, accW, accH, key, flat_idx, indptr, row_nnz,
 
 
 def _rankmf_epoch_impl(ops, W, H, accW, accH, keys, flat_idx, indptr,
-                       row_nnz, uf: _Feats, itf: _Feats, lr, gamma, lam_u,
-                       lam_ip, lam_in, margin, cfg, n_item: int,
+                       row_nnz, uhash, uf: _Feats, itf: _Feats, lr, gamma,
+                       lam_u, lam_ip, lam_in, margin, cfg, n_item: int,
                        bs_steps: int):
     """All minibatches of one fit call as a single scanned program —
     per-batch host dispatch would dominate on a high-latency runtime."""
@@ -235,8 +319,9 @@ def _rankmf_epoch_impl(ops, W, H, accW, accH, keys, flat_idx, indptr,
     def step(carry, key):
         W, H, accW, accH, an, ad = carry
         W, H, accW, accH, a_n, a_d, _, _ = _rankmf_batch(
-            ops, W, H, accW, accH, key, flat_idx, indptr, row_nnz, uf, itf,
-            lr, gamma, lam_u, lam_ip, lam_in, margin, cfg, n_item, bs_steps)
+            ops, W, H, accW, accH, key, flat_idx, indptr, row_nnz, uhash,
+            uf, itf, lr, gamma, lam_u, lam_ip, lam_in, margin, cfg, n_item,
+            bs_steps)
         return (W, H, accW, accH, an + a_n.astype(jnp.int32),
                 ad + a_d.astype(jnp.int32)), None
 
@@ -248,12 +333,13 @@ def _rankmf_epoch_impl(ops, W, H, accW, accH, keys, flat_idx, indptr,
 
 @partial(jax.jit, static_argnames=("cfg", "n_item", "bs_steps"),
          donate_argnums=(0, 1, 2, 3))
-def _rankmf_epoch(W, H, accW, accH, keys, flat_idx, indptr, row_nnz,
+def _rankmf_epoch(W, H, accW, accH, keys, flat_idx, indptr, row_nnz, uhash,
                   uf: _Feats, itf: _Feats, lr, gamma, lam_u, lam_ip, lam_in,
                   margin, cfg, n_item: int, bs_steps: int):
     return _rankmf_epoch_impl(_DIRECT, W, H, accW, accH, keys, flat_idx,
-                              indptr, row_nnz, uf, itf, lr, gamma, lam_u,
-                              lam_ip, lam_in, margin, cfg, n_item, bs_steps)
+                              indptr, row_nnz, uhash, uf, itf, lr, gamma,
+                              lam_u, lam_ip, lam_in, margin, cfg, n_item,
+                              bs_steps)
 
 
 _SHARDED_FNS: dict = {}
@@ -276,7 +362,7 @@ def _sharded_rankmf_fn(mesh: Mesh, cfg, n_item: int, bs_steps: int):
                                   n_item=n_item, bs_steps=bs_steps)
 
     fn = jax.jit(jax.shard_map(
-        body, mesh=mesh, in_specs=(tab, tab, tab, tab) + (rep,) * 12,
+        body, mesh=mesh, in_specs=(tab, tab, tab, tab) + (rep,) * 13,
         out_specs=(tab, tab, tab, tab, rep, rep), check_vma=False),
         donate_argnums=(0, 1, 2, 3))
     _SHARDED_FNS[key] = fn
@@ -397,14 +483,14 @@ class RankMF(MatrixFactorizationRecommender):
             "rankmf_if", item_features,
             lambda: rep(_pad_features(item_features, self.dtype)),
             extra=dt_key)
-        flat_idx, indptr, row_nnz = staged_cached(
+        flat_idx, indptr, row_nnz, uhash = staged_cached(
             "rankmf_x", csr,
             lambda: rep((jnp.asarray(csr.indices, jnp.int32),
                          jnp.asarray(csr.indptr[:-1], jnp.int32),
-                         jnp.asarray(np.diff(csr.indptr), jnp.int32))),
+                         jnp.asarray(np.diff(csr.indptr), jnp.int32),
+                         build_user_hash(csr, _MAX_PROBE))),
             extra=self.mesh)
-        max_nnz = max(int(np.diff(csr.indptr).max()) if csr.nnz else 1, 1)
-        bs_steps = int(np.ceil(np.log2(max_nnz + 1))) + 1
+        bs_steps = _MAX_PROBE      # hash probe window (see build_user_hash)
 
         S = min(self.batch_size, max(n_user, 8))
         K = min(self.max_negative_samples, n_item)
@@ -436,7 +522,8 @@ class RankMF(MatrixFactorizationRecommender):
             # jax error for .at[].add with mismatched dtypes)
             sc = lambda v: jnp.asarray(v, W.dtype)
             (W, H, accW, accH, an, ad) = epoch(
-                W, H, accW, accH, keys, flat_idx, indptr, row_nnz, uf, itf,
+                W, H, accW, accH, keys, flat_idx, indptr, row_nnz, uhash,
+                uf, itf,
                 sc(self.learning_rate), sc(self.gamma), sc(self.lambda_user),
                 sc(self.lambda_item_positive),
                 sc(self.lambda_item_negative),

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..sparse.device import _length_grid, _round_up
+from ..sparse.device import _round_up
 
 
 class ColSchedule(NamedTuple):
@@ -56,10 +56,8 @@ def build_col_schedule(
     col_flat: np.ndarray,
     table_rows: int,
     *,
-    min_len: int = 8,
-    length_ratio: float = 2.0,
     row_align: int = 8,
-    max_buckets: int = 8,
+    max_buckets: int = 10,
 ) -> ColSchedule:
     """Build the column schedule of one block from its flat column ids.
 
@@ -67,6 +65,13 @@ def build_col_schedule(
     column (their update values are zero, so their sums are no-ops).
     ``table_rows`` is the (mesh-padded) table row count the dense delta
     must cover.
+
+    Occurrence counts bucket on a pure power-of-2 grid FROM 1: in the
+    sparse-feature regime (features occurring once or twice, e.g. one-hot
+    GLM columns at millions of features) any larger minimum length
+    multiplies the scheduled gather volume by that minimum (a measured
+    5.5x gather amplification at 4M features with min_len=8, PERF.md
+    round 4).
     """
     n_flat = int(col_flat.size)
     order = np.argsort(col_flat, kind="stable").astype(np.int64)
@@ -78,8 +83,8 @@ def build_col_schedule(
         return ColSchedule((), (), jnp.zeros((table_rows,), jnp.int32))
     occ = counts[active]
 
-    grid = _length_grid(min_len, int(occ.max()), length_ratio)
-    lengths = grid[np.searchsorted(grid, occ)]
+    lengths = 2 ** np.ceil(np.log2(occ)).astype(np.int64)
+    lengths = np.maximum(lengths, 1)
     uniq, ucounts = np.unique(lengths, return_counts=True)
     while len(uniq) > max_buckets:
         k = int(np.argmin(ucounts[:-1]))
@@ -116,9 +121,12 @@ def staged_blocks_with_schedules(csr, dtype, n_features: int, mesh,
                                  tag: str, max_elems: int = 1 << 20):
     """Content-cached staging of the GLM row blocks + column schedules.
 
-    Returns ``(BucketedRows, (ColSchedule, ...))`` aligned by bucket; under
-    a mesh both are fully replicated (the delta covers the mesh-padded
-    table rows, so ``ops.add_dense`` can slice per shard)."""
+    Returns ``(BucketedRows, (ColSchedule, ...), (mask, ...))`` aligned by
+    bucket — masks are pre-computed here because ``bucket.mask()`` is an
+    eager per-call device computation otherwise (one dispatch per block
+    per pass).  Under a mesh everything is fully replicated (the delta
+    covers the mesh-padded table rows, so ``ops.add_dense`` can slice per
+    shard)."""
     from ..parallel.sgd_sharded import padded_rows, replicate_on
     from ..sparse.device import (BucketedRows, RowBucket, bucket_rows,
                                  staged_cached)
@@ -132,16 +140,56 @@ def staged_blocks_with_schedules(csr, dtype, n_features: int, mesh,
                          max_elems=max_elems, host_out=host_out)
         scheds = tuple(build_col_schedule(c.reshape(-1), table_rows)
                        for c, _ in host_out)
+        masks = tuple(b.mask() for b in br.buckets)
         if mesh is not None:
             bks = tuple(RowBucket(*replicate_on(mesh, tuple(b)))
                         for b in br.buckets)
             br = BucketedRows(bks, br.n_rows, br.n_cols, br.nnz,
                               br.empty_rows)
             scheds = replicate_on(mesh, scheds)
-        return br, scheds
+            masks = replicate_on(mesh, masks)
+        return br, scheds, masks
 
     return staged_cached(tag, csr, build,
                          extra=(str(jnp.dtype(dtype)), mesh, max_elems))
+
+
+def staged_label_gathers(tag: str, csr, y: np.ndarray,
+                         weights: np.ndarray, br, dtype, mesh,
+                         zero_pad_weight: bool):
+    """Per-bucket label/weight gathers, content-cached.
+
+    ``y[bucket.row_ids]`` is pass-invariant for a fixed (x, y, weights)
+    triple, but computing it per block per pass costs an eager dispatch
+    plus a host->device staging of y/weights each call (~25 ms/pass at
+    bench scale on the relay).  Returns a tuple of (y_b, w_b) per bucket;
+    ``zero_pad_weight`` zeroes w on batch-padding rows (the FM intercept
+    contract, src/factorization_machine.cpp:147-149)."""
+    import zlib
+
+    from ..parallel.sgd_sharded import replicate_on
+    from ..sparse.device import _csr_fingerprint, staged_aux_cached
+
+    fp = (_csr_fingerprint(csr), zlib.adler32(np.ascontiguousarray(y)),
+          zlib.adler32(np.ascontiguousarray(weights)), len(y))
+
+    def build():
+        n_rows = len(y)
+        yd = jnp.asarray(y, dtype)
+        wd = jnp.asarray(weights, dtype)
+        out = []
+        for b in br.buckets:
+            rid = jnp.minimum(b.row_ids, n_rows - 1)
+            w_b = wd[rid]
+            if zero_pad_weight:
+                w_b = jnp.where(b.row_ids < n_rows, w_b, 0.0)
+            out.append((yd[rid], w_b))
+        out = tuple(out)
+        return replicate_on(mesh, out) if mesh is not None else out
+
+    return staged_aux_cached(tag, fp, build,
+                             extra=(str(jnp.dtype(dtype)), mesh,
+                                    zero_pad_weight))
 
 
 def segment_sum_scheduled(u_flat: jax.Array, sched: ColSchedule

@@ -266,9 +266,21 @@ def distributed_bucket_rows(
     gnnz = int(np.asarray(
         multihost_utils.process_allgather(
             np.asarray([nnz_total], np.int64))).sum())
-    # NB: unlike the single-host builder, ``empty_rows`` here lists only
-    # THIS process's shard's empty rows (global row ids) — assembling the
-    # global list would need a ragged all-gather and no fit-path consumer
-    # reads the field; treat it as process-local metadata.
-    empty = np.flatnonzero(row_nnz == 0).astype(np.int32) + row_offset
+    # global empty-row list via a padded all-gather (each process pads its
+    # shard's list to the global max count), so the public field means the
+    # same thing it does on the single-host builder
+    empty_local = np.flatnonzero(row_nnz == 0).astype(np.int32) + row_offset
+    cnts = np.asarray(multihost_utils.process_allgather(
+        np.asarray([len(empty_local)], np.int64))).reshape(-1)
+    cap = int(cnts.max()) if cnts.size else 0
+    if cap:
+        padded = np.full((cap,), -1, np.int32)
+        padded[: len(empty_local)] = empty_local
+        allp = np.asarray(
+            multihost_utils.process_allgather(padded)).reshape(-1, cap)
+        empty = np.sort(np.concatenate(
+            [allp[p, : int(cnts[p])] for p in range(allp.shape[0])]
+        )).astype(np.int32)
+    else:
+        empty = empty_local
     return BucketedRows(tuple(buckets), n_rows, n_cols, gnnz, empty)

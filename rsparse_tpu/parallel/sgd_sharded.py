@@ -67,6 +67,11 @@ class DirectOps:
         row range — the scatter-free update of ops/segsum.py."""
         return table + delta
 
+    def add_dense_cols(self, table, delta, col_start: int) -> jax.Array:
+        """table[:, col_start:col_start+w] += delta (full global row
+        range) — column-window variant for packed state tables."""
+        return table.at[:, col_start:col_start + delta.shape[1]].add(delta)
+
 
 class ShardedOps:
     """Table ops inside a ``shard_map`` region over mesh axes ``axes``.
@@ -121,6 +126,12 @@ class ShardedOps:
         per = table.shape[0]
         start = self._linear_index() * per
         return table + jax.lax.dynamic_slice_in_dim(delta, start, per, 0)
+
+    def add_dense_cols(self, table, delta, col_start: int):
+        per = table.shape[0]
+        start = self._linear_index() * per
+        d = jax.lax.dynamic_slice_in_dim(delta, start, per, 0)
+        return table.at[:, col_start:col_start + d.shape[1]].add(d)
 
 
 # -- host-side staging helpers ------------------------------------------------

@@ -445,6 +445,21 @@ def _csr_fingerprint(csr: sp.csr_matrix) -> tuple:
             zlib.adler32(np.ascontiguousarray(csr.indptr)))
 
 
+def staged_aux_cached(tag: str, fingerprint, build, extra=None):
+    """Staging cache keyed by an arbitrary (hashable) content fingerprint
+    — for pass-invariant device arrays that are not derived from a CSR
+    matrix alone (per-bucket label gathers, masks, ...).  Shares the LRU
+    with :func:`bucket_rows_cached`."""
+    key = (tag, extra, fingerprint)
+    hit = _BUCKET_CACHE.pop(key, None)
+    if hit is None:
+        hit = build()
+    _BUCKET_CACHE[key] = hit                   # re-insert: LRU order
+    while len(_BUCKET_CACHE) > _BUCKET_CACHE_MAX:
+        _BUCKET_CACHE.pop(next(iter(_BUCKET_CACHE)))
+    return hit
+
+
 def staged_cached(tag: str, csr: sp.csr_matrix, build, extra=None):
     """Generic content-addressed staging cache.
 
@@ -455,14 +470,7 @@ def staged_cached(tag: str, csr: sp.csr_matrix, build, extra=None):
     non-``csr`` input that shapes the built arrays (dtype, padding
     options, ...) — two models differing only in precision must not share
     an entry."""
-    key = (tag, extra, _csr_fingerprint(csr))
-    hit = _BUCKET_CACHE.pop(key, None)
-    if hit is None:
-        hit = build()
-    _BUCKET_CACHE[key] = hit                   # re-insert: LRU order
-    while len(_BUCKET_CACHE) > _BUCKET_CACHE_MAX:
-        _BUCKET_CACHE.pop(next(iter(_BUCKET_CACHE)))
-    return hit
+    return staged_aux_cached(tag, _csr_fingerprint(csr), build, extra)
 
 
 def bucket_rows_cached(x: sp.spmatrix, dtype=jnp.float32,

@@ -163,3 +163,53 @@ def test_rankmf_heldout_ranking_quality(ml100k):
     idx = np.argsort(-scores, axis=1)[:, :10]
     ndcg = float(np.nanmean(rt.ndcg_k(idx, test)))
     assert ndcg > 0.15, ndcg
+
+
+def test_user_hash_membership_matches_binary_search():
+    """The staged hash sets (build_user_hash) must answer exactly the same
+    membership queries as the reference-style sorted-segment binary search
+    (src/rankmf.cpp:36-56) — including degenerate empty rows."""
+    import jax.numpy as jnp
+    from rsparse_tpu.models.rankmf import (
+        _MAX_PROBE, _in_hash_set, _in_sorted_segment, build_user_hash)
+
+    rng = np.random.default_rng(0)
+    n_user, n_item = 300, 500
+    x = sp.random(n_user, n_item, density=0.05, random_state=3,
+                  format="csr")
+    x[7] = 0          # force an empty row
+    x = sp.csr_matrix(x)
+    x.eliminate_zeros()
+    x.sort_indices()
+    uhash = build_user_hash(x, _MAX_PROBE)
+
+    u = jnp.asarray(rng.integers(0, n_user, (64,)).astype(np.int32))
+    q = jnp.asarray(rng.integers(0, n_item, (64, 40)).astype(np.int32))
+    got = np.asarray(_in_hash_set(*uhash, u, q, _MAX_PROBE))
+
+    flat_idx = jnp.asarray(x.indices, jnp.int32)
+    p1 = jnp.asarray(x.indptr[:-1], jnp.int32)[u]
+    nnz = jnp.asarray(np.diff(x.indptr), jnp.int32)[u]
+    steps = int(np.ceil(np.log2(int(np.diff(x.indptr).max()) + 1))) + 1
+    want = np.asarray(_in_sorted_segment(flat_idx, p1, nnz, q, steps))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_user_hash_probe_overflow_growth():
+    """Adversarial hash collisions (many items hashing into one window)
+    must trigger per-user capacity growth, not a silent wrong table."""
+    from rsparse_tpu.models.rankmf import (_MAX_PROBE, _in_hash_set,
+                                           build_user_hash)
+    import jax.numpy as jnp
+
+    # one user with many items — guaranteed clustered probes at tiny caps
+    items = np.arange(0, 4096, 4, dtype=np.int32)
+    x = sp.csr_matrix((np.ones(len(items)), items,
+                       np.asarray([0, len(items)])), shape=(1, 4096))
+    uhash = build_user_hash(x, max_probe=2)
+    u = jnp.zeros((1,), jnp.int32)
+    q = jnp.asarray(np.arange(4096, dtype=np.int32)[None, :])
+    got = np.asarray(_in_hash_set(*uhash, u, q, 2))[0]
+    want = np.zeros(4096, bool)
+    want[items] = True
+    np.testing.assert_array_equal(got, want)
