@@ -584,6 +584,16 @@ CPU_PROBES = {
              "families=('ftrl',))['ftrl']\n"),
     "fm": ("v = bench.measure_ftrl_fm(n_rows=50_000, reps=2, "
            "families=('fm',))['fm']\n"),
+    # production-scale GLMs: FTRL's canonical workload is 1e7-1e9 hashed
+    # features (McMahan et al.); rates are table-size-sensitive on BOTH
+    # sides (CPU leaves cache, TPU leaves the hot-operand gather regime),
+    # so the denominator must run at the same scale
+    "ftrl_hashed": ("v = bench.measure_ftrl_fm(n_rows=50_000, "
+                    "n_feat=40_000_000, reps=2, "
+                    "families=('ftrl',))['ftrl']\n"),
+    "fm_hashed": ("v = bench.measure_ftrl_fm(n_rows=50_000, "
+                  "n_feat=40_000_000, reps=2, "
+                  "families=('fm',))['fm']\n"),
 }
 
 
@@ -707,6 +717,13 @@ def main():
     def run_ftrl_fm():
         tpu.update(measure_ftrl_fm())
 
+    def run_ftrl_fm_hashed():
+        # hashed-feature scale (40M features): the scatter-free schedule
+        # runs in sparse mode (active-rows-only scatter, ops/segsum.py)
+        out = measure_ftrl_fm(n_rows=100_000, n_feat=40_000_000, reps=3)
+        tpu["ftrl_hashed"] = out["ftrl"]
+        tpu["fm_hashed"] = out["fm"]
+
     def run_soft_impute():
         tpu["soft_impute"] = measure_soft_impute(sp.csr_matrix(csr[:16384]))
 
@@ -741,6 +758,7 @@ def main():
         ("soft_impute", lambda: None if quick else run_soft_impute()),
         ("rankmf", lambda: None if quick else run_rankmf()),
         ("ftrl_fm", lambda: None if quick else run_ftrl_fm()),
+        ("ftrl_fm_hashed", lambda: None if quick else run_ftrl_fm_hashed()),
         ("config5_10m", lambda: None if quick else run_config5()),
         ("quality", lambda: None if quick else run_quality()),
     ]:
@@ -754,8 +772,10 @@ def main():
     if not quick:
         units = {"wrmf": "user-updates/s", "glove": "triplets/s",
                  "rankmf": "pairwise-updates/s", "ftrl": "rows/s",
-                 "fm": "rows/s"}
-        for fam in ("wrmf", "glove", "rankmf", "ftrl", "fm"):
+                 "fm": "rows/s", "ftrl_hashed": "rows/s",
+                 "fm_hashed": "rows/s"}
+        for fam in ("wrmf", "glove", "rankmf", "ftrl", "fm",
+                    "ftrl_hashed", "fm_hashed"):
             if fam not in tpu:
                 continue
             cpu_v = cpu_baseline_subprocess(
@@ -800,6 +820,13 @@ def main():
                 "scaling_virtual_cpu is functional-relative on "
                 "oversubscribed virtual CPU devices, not wall-clock "
                 "scaling; real multi-chip hardware is unavailable",
+                "ftrl/fm are random-table-access-bound, a workload class "
+                "where one TPU chip's gather/scatter rate (~64-83M "
+                "rows/s at 160MB+ operands, PERF.md r4) is comparable to "
+                "a CPU socket's; the TPU answer is row-sharded tables "
+                "(parallel/sgd_sharded.py) whose aggregate rate scales "
+                "with chip count — per-chip ratios below 1 here are the "
+                "single-chip slice of that design, not a kernel gap",
             ],
         },
     }

@@ -49,11 +49,11 @@ def _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v, col_idx, values,
     (parallel/sgd_sharded.py): same kernel single-device or row-sharded;
     (w0, acc_w0) are scalars, updated replicated.
 
-    With ``sched`` (ops/segsum.py) the 1-D tables (w, acc_w) update
-    scatter-free (scheduled segment-sum + dense add — dense 1-D adds are
-    cheap at any F); the (F, r) tables keep row-granular scatter-adds,
-    whose full-table dense alternative would write the 128-lane-padded
-    (F, r) array twice per phase.
+    With ``sched`` (ops/segsum.py) every table updates through the
+    scheduled segment-sum: per-feature sums replace per-position
+    scatters, then apply as a dense full-table add (small tables) or an
+    active-rows-only scatter (hashed-feature scale, where a dense (F, r)
+    delta would write the full table twice per phase).
     """
     x = jnp.where(mask, values, 0.0)                    # (B, L)
     wg, vg = ops.gather_many([(w, col_idx), (v, col_idx)])  # (B,L),(B,L,r)
@@ -91,21 +91,26 @@ def _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v, col_idx, values,
     # accumulator-first AdaGrad: fold squared grads in, then re-gather the
     # updated accumulators (duplicate features in a block see the summed
     # accumulator, matching the single-device .at[].add-then-index order)
+    r = v.shape[1]
     if sched is not None:
-        from ..ops.segsum import segment_sum_scheduled
-        acc_w = ops.add_dense(
-            acc_w, segment_sum_scheduled((g_w * g_w).reshape(-1), sched))
+        from ..ops.segsum import scheduled_table_add
+        acc_w = scheduled_table_add(ops, acc_w, (g_w * g_w).reshape(-1),
+                                    sched)
+        acc_v = scheduled_table_add(ops, acc_v,
+                                    (g_v * g_v).reshape(-1, r), sched)
     else:
         acc_w = ops.scatter_add(acc_w, col_idx, g_w * g_w)
-    acc_v = ops.scatter_add(acc_v, col_idx, g_v * g_v)
+        acc_v = ops.scatter_add(acc_v, col_idx, g_v * g_v)
     aw, av = ops.gather_many([(acc_w, col_idx), (acc_v, col_idx)])
     if sched is not None:
-        w = ops.add_dense(
-            w, segment_sum_scheduled((-lr_w * g_w / jnp.sqrt(aw)
-                                      ).reshape(-1), sched))
+        w = scheduled_table_add(ops, w,
+                                (-lr_w * g_w / jnp.sqrt(aw)).reshape(-1),
+                                sched)
+        v = scheduled_table_add(
+            ops, v, (-lr_v * g_v / jnp.sqrt(av)).reshape(-1, r), sched)
     else:
         w = ops.scatter_add(w, col_idx, -lr_w * g_w / jnp.sqrt(aw))
-    v = ops.scatter_add(v, col_idx, -lr_v * g_v / jnp.sqrt(av))
+        v = ops.scatter_add(v, col_idx, -lr_v * g_v / jnp.sqrt(av))
 
     return w0, acc_w0, w, v, acc_w, acc_v, y_hat
 

@@ -104,9 +104,9 @@ def _ftrl_block_impl(ops, z, n, col_idx, values, mask, y, sample_w,
     sigma = (jnp.sqrt(ng + g2) - jnp.sqrt(ng)) / lr
     uz = jnp.where(mask, g - sigma * w, 0.0)
     if sched is not None:
-        from ..ops.segsum import segment_sum_scheduled
-        z = ops.add_dense(z, segment_sum_scheduled(uz.reshape(-1), sched))
-        n = ops.add_dense(n, segment_sum_scheduled(g2.reshape(-1), sched))
+        from ..ops.segsum import scheduled_table_add
+        z = scheduled_table_add(ops, z, uz.reshape(-1), sched)
+        n = scheduled_table_add(ops, n, g2.reshape(-1), sched)
     else:
         z = ops.scatter_add(z, col_idx, uz)
         n = ops.scatter_add(n, col_idx, g2)

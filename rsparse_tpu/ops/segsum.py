@@ -42,14 +42,29 @@ class ColSchedule(NamedTuple):
 
     ``pos[k]``: (Bk, Lk) int32 flat positions (into the block's B*L flat
     axis) of each scheduled feature's occurrences; padding entries hold
-    ``n_flat`` (masked by ``nnz``).  ``inv``: (table_rows,) int32 mapping
-    each table row to its row in the concatenated per-bucket sums (+ one
-    trailing zero row for features absent from the block).
+    ``n_flat`` (masked by ``nnz``).
+
+    Two table-update modes, chosen at build time by the ratio of table
+    rows to scheduled rows:
+
+    - **dense** (small tables): ``inv`` is the (table_rows,) int32 map
+      from each table row to its row in the concatenated per-bucket sums
+      (+ one trailing zero row for absent features); the update is a full
+      dense gather + table add.  O(table_rows) per block — cheap when the
+      table fits a few MB.
+    - **sparse** (table_rows >> scheduled rows, e.g. hashed GLM features
+      at 1e7+): ``inv`` is None and ``feats`` holds the (sum Bk,) global
+      ids of the scheduled features (bucket-concatenated; padding rows
+      point at row 0 and carry exactly-zero sums).  The update scatters
+      only the active rows — O(nnz) per block.  The dense form measured
+      4.7 s/pass at F=40M (8 full-table gathers+adds of 160 MB each per
+      pass) vs ~0.08 s for the scatter of ~1M summed rows (PERF.md r4).
     """
 
     pos: Tuple[jax.Array, ...]
     nnz: Tuple[jax.Array, ...]
-    inv: jax.Array
+    inv: Optional[jax.Array]
+    feats: Optional[jax.Array]
 
 
 def build_col_schedule(
@@ -58,13 +73,17 @@ def build_col_schedule(
     *,
     row_align: int = 8,
     max_buckets: int = 10,
+    sparse_factor: int = 4,
 ) -> ColSchedule:
     """Build the column schedule of one block from its flat column ids.
 
     ``col_flat`` (n_flat,) int32; masked padding entries may point at any
     column (their update values are zero, so their sums are no-ops).
-    ``table_rows`` is the (mesh-padded) table row count the dense delta
-    must cover.
+    ``table_rows`` is the (mesh-padded) table row count a dense delta
+    must cover.  Sparse mode is chosen when ``table_rows >
+    sparse_factor * scheduled_rows`` (dense costs a table-sized gather +
+    add per update; sparse a scheduled-rows scatter at ~1/4 the gather
+    rate, PERF.md round-4 table-op matrix).
 
     Occurrence counts bucket on a pure power-of-2 grid FROM 1: in the
     sparse-feature regime (features occurring once or twice, e.g. one-hot
@@ -75,13 +94,13 @@ def build_col_schedule(
     """
     n_flat = int(col_flat.size)
     order = np.argsort(col_flat, kind="stable").astype(np.int64)
-    counts = np.bincount(col_flat, minlength=table_rows).astype(np.int64)
-    starts = np.zeros(table_rows + 1, np.int64)
-    np.cumsum(counts, out=starts[1:])
-    active = np.flatnonzero(counts).astype(np.int64)
+    # per-active-feature occurrence counts WITHOUT any O(table_rows) host
+    # array (a bincount(minlength=4e7) per block dominated staging)
+    active, occ = np.unique(col_flat[order], return_counts=True)
     if active.size == 0:
-        return ColSchedule((), (), jnp.zeros((table_rows,), jnp.int32))
-    occ = counts[active]
+        return ColSchedule((), (), None, None)
+    active = active.astype(np.int64)
+    starts = np.cumsum(occ) - occ          # first sorted position per feat
 
     lengths = 2 ** np.ceil(np.log2(occ)).astype(np.int64)
     lengths = np.maximum(lengths, 1)
@@ -93,28 +112,40 @@ def build_col_schedule(
 
     pos_out: List[jax.Array] = []
     nnz_out: List[jax.Array] = []
-    inv = np.full((table_rows,), 0, np.int32)
+    feats_np: List[np.ndarray] = []
+    meta: List[Tuple[np.ndarray, int]] = []   # (feature ids, row offset)
     offset = 0
     for L in uniq:
         L = int(L)
-        feats = active[lengths == L]
+        sel = lengths == L
+        feats = active[sel]
+        cnt = occ[sel]
         B = _round_up(len(feats), row_align)
         nnz = np.zeros((B,), np.int32)
-        nnz[: len(feats)] = counts[feats]
-        flat = starts[feats][:, None] + np.arange(L)[None, :]
-        valid = np.arange(L)[None, :] < counts[feats][:, None]
+        nnz[: len(feats)] = cnt
+        flat = starts[sel][:, None] + np.arange(L)[None, :]
+        valid = np.arange(L)[None, :] < cnt[:, None]
         pos = np.full((B, L), n_flat, np.int32)
         pos[: len(feats)] = np.where(
             valid, order[np.minimum(flat, n_flat - 1)], n_flat)
-        inv[feats] = offset + np.arange(len(feats), dtype=np.int32)
+        fp = np.zeros((B,), np.int32)          # padding rows -> row 0,
+        fp[: len(feats)] = feats               # their sums are exactly 0
+        meta.append((feats, offset))
         offset += B
         pos_out.append(jnp.asarray(pos))
         nnz_out.append(jnp.asarray(nnz))
-    # absent features read the trailing zero row of the concatenated sums
+        feats_np.append(fp)
+
+    if table_rows > sparse_factor * offset:
+        return ColSchedule(tuple(pos_out), tuple(nnz_out), None,
+                           jnp.asarray(np.concatenate(feats_np)))
+
+    # dense: absent features read the trailing zero row of the sums
     inv_final = np.full((table_rows,), offset, np.int32)
-    inv_final[active] = inv[active]
+    for feats, off in meta:
+        inv_final[feats] = off + np.arange(len(feats), dtype=np.int32)
     return ColSchedule(tuple(pos_out), tuple(nnz_out),
-                       jnp.asarray(inv_final))
+                       jnp.asarray(inv_final), None)
 
 
 def staged_blocks_with_schedules(csr, dtype, n_features: int, mesh,
@@ -192,14 +223,10 @@ def staged_label_gathers(tag: str, csr, y: np.ndarray,
                                     zero_pad_weight))
 
 
-def segment_sum_scheduled(u_flat: jax.Array, sched: ColSchedule
-                          ) -> jax.Array:
-    """Dense per-feature sums of flat per-nnz updates.
-
-    ``u_flat``: (n_flat,) or (n_flat, r).  Returns (table_rows,) or
-    (table_rows, r) — exactly ``zeros.at[col_flat].add(u_flat)`` up to f32
-    summation order, with zero dynamic scatters.
-    """
+def scheduled_sums(u_flat: jax.Array, sched: ColSchedule) -> jax.Array:
+    """Per-scheduled-feature sums of flat per-nnz updates, concatenated
+    across the schedule's occurrence buckets: (sum Bk[, r]).  Padding rows
+    sum to exactly 0 (the nnz mask zeroes every term)."""
     n_flat = u_flat.shape[0]
     outs = []
     for pos, nnz in zip(sched.pos, sched.nnz):
@@ -208,6 +235,36 @@ def segment_sum_scheduled(u_flat: jax.Array, sched: ColSchedule
         if u_flat.ndim == 2:
             m = m[..., None]
         outs.append(jnp.sum(jnp.where(m, g, 0), axis=1))
+    return jnp.concatenate(outs, axis=0)
+
+
+def segment_sum_scheduled(u_flat: jax.Array, sched: ColSchedule
+                          ) -> jax.Array:
+    """Dense per-feature sums of flat per-nnz updates (dense-mode
+    schedules only).
+
+    ``u_flat``: (n_flat,) or (n_flat, r).  Returns (table_rows,) or
+    (table_rows, r) — exactly ``zeros.at[col_flat].add(u_flat)`` up to f32
+    summation order, with zero dynamic scatters.
+    """
+    cat = scheduled_sums(u_flat, sched)
     zero = jnp.zeros((1,) + u_flat.shape[1:], u_flat.dtype)
-    cat = jnp.concatenate(list(outs) + [zero], axis=0)
-    return cat[sched.inv]
+    return jnp.concatenate([cat, zero], axis=0)[sched.inv]
+
+
+def scheduled_table_add(ops, table: jax.Array, u_flat: jax.Array,
+                        sched: ColSchedule) -> jax.Array:
+    """``table += zeros.at[col_flat].add(u_flat)`` through the staged
+    schedule — the single entry point model kernels use.
+
+    Dense-mode schedules apply a full-table delta (``ops.add_dense``);
+    sparse-mode schedules scatter only the active-feature sums
+    (``ops.scatter_add`` on global ids — the sharded ops mask to the
+    local row shard).  Both produce identical tables: each feature row
+    receives its single bucket-sum either way.
+    """
+    if not sched.pos:
+        return table
+    if sched.inv is not None:
+        return ops.add_dense(table, segment_sum_scheduled(u_flat, sched))
+    return ops.scatter_add(table, sched.feats, scheduled_sums(u_flat, sched))

@@ -230,3 +230,60 @@ def test_glove_device_shuffle_reproducible():
         outs.append(np.asarray(
             g.fit_transform(tcm, n_iter=3, convergence_tol=-1)))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_col_schedule_sparse_mode_matches_scatter():
+    """Sparse-mode schedules (table_rows >> scheduled rows, the hashed-
+    feature GLM regime) must produce the exact scatter-add table — same
+    contract as dense mode, different lowering (active-rows-only scatter;
+    PERF.md round-4 table-op ADR)."""
+    import jax.numpy as jnp
+
+    from rsparse_tpu.ops.segsum import build_col_schedule, \
+        scheduled_table_add
+    from rsparse_tpu.parallel.sgd_sharded import DirectOps
+
+    rng = np.random.default_rng(3)
+    ops = DirectOps()
+    n_flat, F_sparse, F_dense = 4096, 1_000_000, 512
+    cols = rng.integers(0, F_dense, n_flat).astype(np.int32)
+    u1 = rng.standard_normal(n_flat).astype(np.float32)
+    u2 = rng.standard_normal((n_flat, 5)).astype(np.float32)
+    for F in (F_dense, F_sparse):
+        c = cols if F == F_dense else cols * (F // F_dense)
+        sched = build_col_schedule(c, F)
+        assert (sched.inv is None) == (F == F_sparse)
+        want1 = np.zeros(F, np.float32)
+        np.add.at(want1, c, u1)
+        got1 = scheduled_table_add(ops, jnp.zeros((F,), jnp.float32),
+                                   jnp.asarray(u1), sched)
+        np.testing.assert_allclose(np.asarray(got1), want1, atol=1e-5)
+        want2 = np.zeros((F, 5), np.float32)
+        np.add.at(want2, c, u2)
+        got2 = scheduled_table_add(ops, jnp.zeros((F, 5), jnp.float32),
+                                   jnp.asarray(u2), sched)
+        np.testing.assert_allclose(np.asarray(got2), want2, atol=1e-5)
+
+
+def test_ftrl_sparse_schedule_mode_end_to_end():
+    """FTRL at hashed-feature scale (F >> nnz) trains through the
+    sparse-scatter schedule and matches a small-F model's math: the same
+    planted problem embedded in a huge feature space recovers signs."""
+    rng = np.random.default_rng(7)
+    n, d, F = 512, 64, 2_000_000
+    stride = F // d
+    x_small = sp.random(n, d, density=0.3, random_state=5,
+                        data_rvs=lambda k: rng.choice([1.0, -1.0], k))
+    x_small = sp.csr_matrix(x_small)
+    beta = np.where(np.arange(d) < d // 2, 1.0, -1.0)
+    y = (np.asarray(x_small @ beta).ravel() > 0).astype(np.float64)
+    small = FTRL(learning_rate=0.5, seed=0)
+    small.fit(x_small, y, n_iter=4)
+    coo = x_small.tocoo()
+    x_big = sp.csr_matrix((coo.data, (coo.row, coo.col * stride)),
+                          shape=(n, F))
+    big = FTRL(learning_rate=0.5, seed=0)
+    big.fit(x_big, y, n_iter=4)
+    w_small = small.coef()[:d]
+    w_big = big.coef()[::stride][:d]
+    np.testing.assert_allclose(w_big, w_small, atol=1e-4)
