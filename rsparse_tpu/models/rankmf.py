@@ -90,78 +90,72 @@ _HASH_MULT = np.uint32(2654435761)      # Knuth multiplicative hash
 
 
 def build_user_hash(csr: sp.csr_matrix, max_probe: int = 8):
-    """Per-user open-addressed hash sets of the positive items.
+    """Per-user bucketized hash sets of the positive items.
 
     The reference rejection-samples negatives with a per-sample binary
     search (src/rankmf.cpp:36-56); the TPU port of that search is a
     12-round sequential ``fori_loop`` of (S, K) gathers and was measured
-    at 15.5 ms of a 19 ms batch (PERF.md round 4).  A staged hash set
-    answers the same membership query with ONE parallel (S, K, P) gather.
+    at 15.5 ms of a 19 ms batch (PERF.md round 4).  A first hash design
+    (open addressing, fixed 8-probe window) answered membership with an
+    (S, K, 8) gather — 8 scalar row-fetches per query, which at 1.3M
+    queries/batch was still 10.3 ms of a 17.9 ms batch: TPU gathers are
+    ROW-rate-bound and flat in row width (PERF.md round-4 matrix).
 
-    Each user u gets a power-of-two capacity ``cap_u >= 4 * nnz_u`` (load
-    <= 0.25) with linear probing; capacities double until every item sits
-    within ``max_probe`` slots of its home, so the device probe is a
-    fixed-size window.  Empty slots hold -1.  The build is vectorized
-    over all nnz (at most ``max_probe`` claim rounds of argsort/unique).
+    So the table is bucketized instead: each user owns ``bcap_u``
+    (power of two) buckets of ``max_probe`` lanes in a 2-D
+    ``(total_buckets, max_probe)`` table; an item lives in ANY free lane
+    of bucket ``h(item) & (bcap_u - 1)`` (no chaining across buckets —
+    bucket counts double until every bucket fits).  Membership is ONE
+    (S, K) row gather of the whole candidate bucket + a lane compare:
+    8x fewer row-fetches for the same answer.  Empty lanes hold -1.
 
-    Returns ``(table (T,) int32, off (n_user,) int32, mask (n_user,)
-    int32)`` with ``mask = cap - 1``.
+    Returns ``(table (TB, max_probe) int32, boff (n_user,) int32,
+    bmask (n_user,) int32)`` with ``bmask = bcap - 1``.
     """
     n_user = csr.shape[0]
     nnz = np.diff(csr.indptr).astype(np.int64)
-    caps = np.maximum(4, 2 ** np.ceil(
-        np.log2(np.maximum(4 * nnz, 1))).astype(np.int64))
+    # target mean load max_probe/4 items per bucket: Poisson tail past
+    # max_probe lanes is rare, the resize loop below mops it up
+    bcap = 2 ** np.ceil(np.log2(np.maximum(
+        -(-nnz // max(max_probe // 4, 1)), 1))).astype(np.int64)
     items_all = csr.indices.astype(np.uint32)
     users_all = np.repeat(np.arange(n_user, dtype=np.int64), nnz)
     h_all = (items_all * _HASH_MULT).astype(np.uint32)
 
     while True:
-        off = np.zeros(n_user + 1, np.int64)
-        np.cumsum(caps, out=off[1:])
-        total = int(off[-1])
-        if total >= (1 << 31):
+        boff = np.zeros(n_user + 1, np.int64)
+        np.cumsum(bcap, out=boff[1:])
+        total = int(boff[-1])
+        if total * max_probe >= (1 << 31):
             raise MemoryError("user hash table exceeds int32 indexing")
-        table = np.full(total, -1, np.int32)
-        pend_pos = off[users_all] + (h_all & (caps[users_all] - 1)
-                                     .astype(np.uint32))
-        pend_item = items_all.astype(np.int32)
-        pend_user = users_all
-        overflow = None
-        for _ in range(max_probe):
-            if pend_pos.size == 0:
-                break
-            # first pending claimant of each still-empty slot wins
-            order = np.argsort(pend_pos, kind="stable")
-            pos_s = pend_pos[order]
-            first = np.ones(len(pos_s), bool)
-            first[1:] = pos_s[1:] != pos_s[:-1]
-            win = first & (table[pos_s] == -1)
-            table[pos_s[win]] = pend_item[order[win]]
-            lose = order[~win]
-            # losers advance one slot (wrapping within the user's window)
-            u = pend_user[lose]
-            base = off[u]
-            nxt = base + ((pend_pos[lose] - base + 1)
-                          & (caps[u] - 1))
-            pend_pos, pend_item, pend_user = nxt, pend_item[lose], u
-        else:
-            overflow = np.unique(pend_user)
-        if overflow is None or overflow.size == 0:
-            return (jnp.asarray(table), jnp.asarray(off[:-1], jnp.int32),
-                    jnp.asarray((caps - 1), jnp.int32))
-        caps[overflow] *= 2     # rare: a probe chain exceeded max_probe
+        b = (h_all & (bcap[users_all] - 1).astype(np.uint32)).astype(
+            np.int64)
+        gb = boff[users_all] + b
+        order = np.argsort(gb, kind="stable")
+        gbs = gb[order]
+        first = np.ones(len(gbs), bool)
+        first[1:] = gbs[1:] != gbs[:-1]
+        run_start = np.flatnonzero(first)
+        lane = np.arange(len(gbs)) - run_start[np.cumsum(first) - 1]
+        over = lane >= max_probe
+        if over.any():          # rare: a bucket drew > max_probe items
+            bcap[np.unique(users_all[order[over]])] *= 2
+            continue
+        table = np.full((total, max_probe), -1, np.int32)
+        table[gbs, lane] = items_all[order].astype(np.int32)
+        return (jnp.asarray(table), jnp.asarray(boff[:-1], jnp.int32),
+                jnp.asarray(bcap - 1, jnp.int32))
 
 
 def _in_hash_set(table, off, capmask, u, queries, max_probe: int):
-    """Membership of queries[s, k] in user u[s]'s hash set — one parallel
-    (S, K, P) gather, no sequential rounds."""
+    """Membership of queries[s, k] in user u[s]'s hash set — one (S, K)
+    bucket-row gather + lane compare (``max_probe`` is carried in the
+    staged table's lane width; the argument is kept for the fallback
+    path's signature)."""
     h = (queries.astype(jnp.uint32) * _HASH_MULT).astype(jnp.uint32)
     m = capmask[u][:, None].astype(jnp.uint32)          # (S, 1)
-    base = off[u][:, None]                              # (S, 1)
-    probes = jnp.arange(max_probe, dtype=jnp.uint32)
-    pos = base[..., None] + ((h[..., None] + probes) & m[..., None]
-                             ).astype(jnp.int32)        # (S, K, P)
-    got = table[pos]
+    row = off[u][:, None] + (h & m).astype(jnp.int32)   # (S, K)
+    got = table[row]                                    # (S, K, lanes)
     return jnp.any(got == queries[..., None], axis=-1)
 
 
