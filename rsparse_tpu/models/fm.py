@@ -56,7 +56,17 @@ def _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v, col_idx, values,
     delta would write the full table twice per phase).
     """
     x = jnp.where(mask, values, 0.0)                    # (B, L)
-    wg, vg = ops.gather_many([(w, col_idx), (v, col_idx)])  # (B,L),(B,L,r)
+    use_sums = do_update and sched is not None and len(sched.pos) > 0
+    if use_sums:
+        # fold the accumulator reads into the ONE cold gather round: the
+        # post-update accumulator image at each position is
+        # old + featsum[row_of_pos] (ops/segsum.py), so no re-gather of
+        # the freshly-updated tables is needed
+        wg, vg, awg, avg = ops.gather_many(
+            [(w, col_idx), (v, col_idx),
+             (acc_w, col_idx), (acc_v, col_idx)])
+    else:
+        wg, vg = ops.gather_many([(w, col_idx), (v, col_idx)])
     vx = vg * x[..., None]                              # (B, L, r)
     s1 = jnp.sum(vx, axis=1)                            # (B, r)
     s2 = jnp.sum(vx * vx, axis=1)
@@ -92,23 +102,26 @@ def _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v, col_idx, values,
     # updated accumulators (duplicate features in a block see the summed
     # accumulator, matching the single-device .at[].add-then-index order)
     r = v.shape[1]
-    if sched is not None:
-        from ..ops.segsum import scheduled_table_add
-        acc_w = scheduled_table_add(ops, acc_w, (g_w * g_w).reshape(-1),
-                                    sched)
-        acc_v = scheduled_table_add(ops, acc_v,
-                                    (g_v * g_v).reshape(-1, r), sched)
-    else:
-        acc_w = ops.scatter_add(acc_w, col_idx, g_w * g_w)
-        acc_v = ops.scatter_add(acc_v, col_idx, g_v * g_v)
-    aw, av = ops.gather_many([(acc_w, col_idx), (acc_v, col_idx)])
-    if sched is not None:
+    if use_sums:
+        from ..ops.segsum import (scheduled_sums, scheduled_table_add,
+                                  scheduled_table_add_sums)
+        B, L = col_idx.shape
+        sums_w = scheduled_sums((g_w * g_w).reshape(-1), sched)
+        sums_v = scheduled_sums((g_v * g_v).reshape(-1, r), sched)
+        acc_w = scheduled_table_add_sums(ops, acc_w, sums_w, sched)
+        acc_v = scheduled_table_add_sums(ops, acc_v, sums_v, sched)
+        rop = sched.row_of_pos
+        aw = awg + sums_w[rop].reshape(B, L)
+        av = avg + sums_v[rop].reshape(B, L, r)
         w = scheduled_table_add(ops, w,
                                 (-lr_w * g_w / jnp.sqrt(aw)).reshape(-1),
                                 sched)
         v = scheduled_table_add(
             ops, v, (-lr_v * g_v / jnp.sqrt(av)).reshape(-1, r), sched)
     else:
+        acc_w = ops.scatter_add(acc_w, col_idx, g_w * g_w)
+        acc_v = ops.scatter_add(acc_v, col_idx, g_v * g_v)
+        aw, av = ops.gather_many([(acc_w, col_idx), (acc_v, col_idx)])
         w = ops.scatter_add(w, col_idx, -lr_w * g_w / jnp.sqrt(aw))
         v = ops.scatter_add(v, col_idx, -lr_v * g_v / jnp.sqrt(av))
 

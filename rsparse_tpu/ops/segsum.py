@@ -59,12 +59,19 @@ class ColSchedule(NamedTuple):
       only the active rows — O(nnz) per block.  The dense form measured
       4.7 s/pass at F=40M (8 full-table gathers+adds of 160 MB each per
       pass) vs ~0.08 s for the scatter of ~1M summed rows (PERF.md r4).
+
+    ``row_of_pos`` maps every flat position to the scheduled row of its
+    own feature (positions -> rows of the ``scheduled_sums`` output):
+    the per-position image of a freshly-updated accumulator is then
+    ``old_gathered + sums[row_of_pos]`` — no second cold table gather
+    (FM's accumulator-first AdaGrad re-gather, models/fm.py).
     """
 
     pos: Tuple[jax.Array, ...]
     nnz: Tuple[jax.Array, ...]
     inv: Optional[jax.Array]
     feats: Optional[jax.Array]
+    row_of_pos: Optional[jax.Array] = None
 
 
 def build_col_schedule(
@@ -130,22 +137,34 @@ def build_col_schedule(
             valid, order[np.minimum(flat, n_flat - 1)], n_flat)
         fp = np.zeros((B,), np.int32)          # padding rows -> row 0,
         fp[: len(feats)] = feats               # their sums are exactly 0
-        meta.append((feats, offset))
+        meta.append((feats, offset, pos))
         offset += B
         pos_out.append(jnp.asarray(pos))
         nnz_out.append(jnp.asarray(nnz))
         feats_np.append(fp)
 
+    # position -> scheduled-sums row of its own feature (every real flat
+    # position appears in exactly one pos list; padding writes land in
+    # the spare trailing slot)
+    rop = np.zeros(n_flat + 1, np.int32)
+    for _, off, pos in meta:
+        B, L = pos.shape
+        rows = np.broadcast_to(
+            (off + np.arange(B, dtype=np.int32))[:, None], (B, L))
+        rop[np.minimum(pos, n_flat)] = rows
+    row_of_pos = jnp.asarray(rop[:n_flat])
+
     if table_rows > sparse_factor * offset:
         return ColSchedule(tuple(pos_out), tuple(nnz_out), None,
-                           jnp.asarray(np.concatenate(feats_np)))
+                           jnp.asarray(np.concatenate(feats_np)),
+                           row_of_pos)
 
     # dense: absent features read the trailing zero row of the sums
     inv_final = np.full((table_rows,), offset, np.int32)
-    for feats, off in meta:
+    for feats, off, _ in meta:
         inv_final[feats] = off + np.arange(len(feats), dtype=np.int32)
     return ColSchedule(tuple(pos_out), tuple(nnz_out),
-                       jnp.asarray(inv_final), None)
+                       jnp.asarray(inv_final), None, row_of_pos)
 
 
 def staged_blocks_with_schedules(csr, dtype, n_features: int, mesh,
@@ -265,6 +284,17 @@ def scheduled_table_add(ops, table: jax.Array, u_flat: jax.Array,
     """
     if not sched.pos:
         return table
+    return scheduled_table_add_sums(ops, table,
+                                    scheduled_sums(u_flat, sched), sched)
+
+
+def scheduled_table_add_sums(ops, table: jax.Array, sums: jax.Array,
+                             sched: ColSchedule) -> jax.Array:
+    """Apply precomputed ``scheduled_sums`` output to the table (callers
+    that also need the sums — e.g. FM's accumulator-first re-gather via
+    ``sums[sched.row_of_pos]`` — avoid summing twice)."""
     if sched.inv is not None:
-        return ops.add_dense(table, segment_sum_scheduled(u_flat, sched))
-    return ops.scatter_add(table, sched.feats, scheduled_sums(u_flat, sched))
+        zero = jnp.zeros((1,) + sums.shape[1:], sums.dtype)
+        delta = jnp.concatenate([sums, zero], axis=0)[sched.inv]
+        return ops.add_dense(table, delta)
+    return ops.scatter_add(table, sched.feats, sums)
