@@ -285,7 +285,7 @@ def measure_soft_impute(csr, rank=256):
     return 1.0 / dt       # iters/s (bigger = better, like every ratio here)
 
 
-def measure_rankmf(csr, rank=128, n_iter=8, mesh=None):
+def measure_rankmf(csr, rank=128, n_iter=48, mesh=None):
     """Config #5: RankMF WARP pairwise updates/s.
 
     The model returns device-resident embeddings (identity features); the
@@ -462,6 +462,15 @@ def measure_linear_flow(csr, rank=256, cv_users=16_384):
     fit_s = time.time() - t0
     log(f"linear_flow rank-{rank} fit_transform ({csr.shape[0]} users, "
         f"{csr.nnz} nnz): {fit_s:.1f}s")
+    # warm re-fit: the cold fit is dominated by one-time per-process
+    # executable loads on the bench relay (local-disk-millisecond on a
+    # real TPU host); the warm number is the portable one
+    m_w = LinearFlow(rank=rank, lambda_=1.0, precision="float32", seed=0)
+    t0 = time.time()
+    xv = m_w.fit_transform(csr, n_iter=10)
+    assert np.isfinite(float(np.asarray(xv).sum()))
+    fit_warm_s = time.time() - t0
+    log(f"linear_flow warm re-fit: {fit_warm_s:.1f}s")
 
     sub = sp.csr_matrix(csr[:cv_users])
     rng = np.random.default_rng(0)
@@ -474,7 +483,8 @@ def measure_linear_flow(csr, rank=256, cv_users=16_384):
     best = max(r["score"] for r in res)
     log(f"linear_flow cross_validate_lambda (5 lambdas, {cv_users} users): "
         f"{cv_s:.1f}s total, best map@10={best:.4f}")
-    return {"fit_s": fit_s, "cv_s": cv_s, "per_lambda_s": cv_s / 5}
+    return {"fit_s": fit_s, "fit_warm_s": fit_warm_s, "cv_s": cv_s,
+            "per_lambda_s": cv_s / 5}
 
 
 def measure_fit_e2e(csr, rank):

@@ -16,6 +16,7 @@ diag(lhs) (R/model_LinearFlow.R:96-165).
 from __future__ import annotations
 
 import re
+from functools import partial
 from typing import Callable, Optional, Sequence, Union
 
 import jax
@@ -32,10 +33,28 @@ from .base import MatrixFactorizationRecommender, get_names
 from .soft_als import soft_impute, soft_svd
 
 
-def _solve_ridge(lhs: jax.Array, rhs: jax.Array, lam: float) -> jax.Array:
+@jax.jit
+def _solve_ridge(lhs: jax.Array, rhs: jax.Array, lam) -> jax.Array:
     """(lhs + lam I) W = rhs (reference R/model_LinearFlow.R:194-198)."""
     r = lhs.shape[0]
     return jnp.linalg.solve(lhs + lam * jnp.eye(r, dtype=lhs.dtype), rhs)
+
+
+@partial(jax.jit, static_argnames=("n_rows", "n_cols"))
+def _lhs_rhs_jit(x_buckets, tx_buckets, v, n_rows: int, n_cols: int):
+    """rhs = (x v)' x, lhs = rhs v as ONE program: eagerly, the two
+    bucketed SpMM chains are ~40 op-by-op dispatches (each a compile +
+    round-trip on a remote-compile link); jitted they fuse into a single
+    executable."""
+    xv = spmm_buckets(x_buckets, n_rows, v)              # (n_u, r)
+    rhs = spmm_buckets(tx_buckets, n_cols, xv).T         # (r, n_i)
+    lhs = rhs @ v                                        # (r, r)
+    return lhs, rhs, xv
+
+
+@partial(jax.jit, static_argnames=("n_rows",))
+def _spmm_jit(buckets, v, n_rows: int):
+    return spmm_buckets(buckets, n_rows, v)
 
 
 class LinearFlow(MatrixFactorizationRecommender):
@@ -100,15 +119,20 @@ class LinearFlow(MatrixFactorizationRecommender):
         return v.astype(self.dtype)
 
     def _lhs_rhs(self, csr: sp.csr_matrix):
-        """rhs = (x v)' x, lhs = rhs v — two bucketed SpMMs
-        (reference R/model_LinearFlow.R:59-67)."""
-        xb = bucket_rows(csr, self.dtype)
-        xv = spmm_buckets(xb.buckets, csr.shape[0], self.v)      # (n_u, r)
-        # (x v)' x  ==  (x' (x v))'
-        txb = bucket_rows(csr.T.tocsr(), self.dtype)
-        rhs = spmm_buckets(txb.buckets, csr.shape[1], xv).T      # (r, n_i)
-        lhs = rhs @ self.v                                       # (r, r)
-        return lhs, rhs, xv
+        """rhs = (x v)' x, lhs = rhs v — two bucketed SpMMs in one jitted
+        program (reference R/model_LinearFlow.R:59-67)."""
+        from ..sparse.device import staged_cached
+        dt_key = (str(jnp.dtype(self.dtype)),)
+        xb = staged_cached(
+            "spmm_x", csr,
+            lambda: bucket_rows(csr, self.dtype, include_empty=False),
+            extra=dt_key)
+        txb = staged_cached(
+            "spmm_tx", csr,
+            lambda: bucket_rows(csr.T.tocsr(), self.dtype,
+                                include_empty=False), extra=dt_key)
+        return _lhs_rhs_jit(xb.buckets, txb.buckets, self.v,
+                            csr.shape[0], csr.shape[1])
 
     # -- public API --------------------------------------------------------
 
@@ -153,8 +177,12 @@ class LinearFlow(MatrixFactorizationRecommender):
                                self.dtype)
         csr = sp.csr_matrix(x).astype(np.float64)
         csr = self.preprocess(csr)
-        xb = bucket_rows(csr, self.dtype)
-        return spmm_buckets(xb.buckets, csr.shape[0], self.v)
+        from ..sparse.device import staged_cached
+        xb = staged_cached(
+            "spmm_x", csr,
+            lambda: bucket_rows(csr, self.dtype, include_empty=False),
+            extra=(str(jnp.dtype(self.dtype)),))
+        return _spmm_jit(xb.buckets, self.v, csr.shape[0])
 
     def cross_validate_lambda(
         self,
@@ -197,21 +225,25 @@ class LinearFlow(MatrixFactorizationRecommender):
             lambdas = np.asarray(lambda_, np.float64)
 
         xb_train = bucket_rows(train_csr, self.dtype)
-        xq = spmm_buckets(xb_train.buckets, train_csr.shape[0], self.v)
+        xq = _spmm_jit(xb_train.buckets, self.v, train_csr.shape[0])
 
         results = []
         best = -np.inf
+        best_y = None
         for lam in lambdas:
-            Y = _solve_ridge(lhs, rhs, float(lam))
-            idx, _ = top_product(np.asarray(xq, np.float32),
-                                 np.asarray(Y, np.float32), metric_k,
+            Y = _solve_ridge(lhs, rhs, jnp.asarray(lam, lhs.dtype))
+            # xq / Y stay device-resident through the retrieval kernel (a
+            # host round-trip of the (r, n_items) components per lambda
+            # dominated the sweep on the bench relay)
+            idx, _ = top_product(xq, Y, metric_k,
                                  not_recommend=not_recommend)
             scorer = ap_k if metric_name == "map" else ndcg_k
             score = float(np.nanmean(scorer(idx, x_test)))
             results.append({"lambda": float(lam), "score": score})
-            if score >= best or self.components is None:
+            if score >= best or best_y is None:
                 best = score
-                self.components = np.asarray(Y)
+                best_y = Y          # device-resident; materialized once
                 self.lambda_ = float(lam)
             logger.info("lambda %.4f score %.4f", lam, score)
+        self.components = np.asarray(best_y)
         return results

@@ -131,6 +131,20 @@ def _b_step(buckets, n_rows, svd: SVDResult, lam, target: str,
     return new, loss
 
 
+@partial(jax.jit, static_argnames=("n_rows", "target"))
+def _final_svd_m(x_buckets, u, d, v, n_rows: int, target: str):
+    """Final-cleanup SVD input ``m`` + its SVD as ONE jitted program (the
+    eager form is ~20 op dispatches, each a compile + round-trip on a
+    remote-compile link; reference R/SoftALS.R:214-243)."""
+    if target == "soft_impute":
+        delta = residual_values(x_buckets, u, v, d)
+        m = (spmm_buckets(x_buckets, n_rows, v, values_list=delta)
+             + (u * d[None, :]) @ (v.T @ v))
+    else:
+        m = spmm_buckets(x_buckets, n_rows, v)
+    return jnp.linalg.svd(m, full_matrices=False)
+
+
 @partial(jax.jit, static_argnames=("target", "n_rows", "n_cols",
                                    "compute_dtype"))
 def _soft_als_iter(tx_buckets, x_buckets, n_rows: int, n_cols: int,
@@ -170,8 +184,18 @@ def soft_als(
     csr = sp.csr_matrix(x).astype(np.float64)
     n_rows, n_cols = csr.shape
 
-    x_b = bucket_rows(csr, dtype, include_empty=False)
-    tx_b = bucket_rows(csr.T.tocsr(), dtype, include_empty=False)
+    # content-cached staging, shared across models: LinearFlow's
+    # closed-form step buckets the SAME matrix right after soft-impute
+    # (the transpose build alone is seconds at ML-20M scale)
+    from ..sparse.device import staged_cached
+    dt_key = (str(jnp.dtype(dtype)),)
+    x_b = staged_cached(
+        "spmm_x", csr,
+        lambda: bucket_rows(csr, dtype, include_empty=False), extra=dt_key)
+    tx_b = staged_cached(
+        "spmm_tx", csr,
+        lambda: bucket_rows(csr.T.tocsr(), dtype, include_empty=False),
+        extra=dt_key)
 
     if init is None:
         u0 = jnp.asarray(rng.standard_normal((n_rows, rank)), dtype)
@@ -204,13 +228,7 @@ def soft_als(
 
     if final_svd:
         u, d, v = svd_cur
-        if target == "soft_impute":
-            delta = residual_values(x_b.buckets, u, v, d)
-            m = (spmm_buckets(x_b.buckets, n_rows, v, values_list=delta)
-                 + (u * d[None, :]) @ (v.T @ v))
-        else:
-            m = spmm_buckets(x_b.buckets, n_rows, v)
-        mu, md, mvh = jnp.linalg.svd(m, full_matrices=False)
+        mu, md, mvh = _final_svd_m(x_b.buckets, u, d, v, n_rows, target)
         d_final = np.maximum(np.asarray(md, np.float64) - lambda_, 0.0)
         n_keep = int((d_final > 0).sum())
         if n_keep == 0:
