@@ -505,6 +505,18 @@ def measure_fit_e2e(csr, rank):
     assert np.isfinite(m.loss_history).all()
     log(f"fit_transform e2e (rank {rank}, {n_users} users, 2 iters + "
         f"exact transform): {dt:.1f}s, loss {m.loss_history[-1]:.4f}")
+    # warm re-fit: staging is content-cached and the ~60 per-bucket-shape
+    # executables are loaded, so this is the portable framework cost (the
+    # cold number is dominated by per-process executable-load latency on
+    # the bench relay — milliseconds from local disk on a real TPU host)
+    m2 = WRMF(rank=rank, lambda_=LAM, feedback="implicit",
+              solver="conjugate_gradient", seed=0,
+              compute_dtype="bfloat16")
+    t0 = time.time()
+    emb = m2.fit_transform(csr, n_iter=2, convergence_tol=-1)
+    dt_warm = time.time() - t0
+    assert emb.shape == (n_users, rank)
+    log(f"fit_transform e2e warm re-fit: {dt_warm:.1f}s")
     return dt
 
 
