@@ -209,7 +209,9 @@ def measure_glove(vocab=50_000, nnz=8_000_000, rank=128, seed=0, reps=3):
     hot_ids, X_hh, rem = _split_head(tcm, int((1 << 29) ** 0.5))
     grids = None
     if hot_ids is not None:
-        grids = _head_grids(X_hh, hot_ids, jnp.float32, 1 << 16)
+        # bf16 head: matmuls + cost grids at half width, f32 accumulation
+        # (identical convergence traces, models/glove.py compute_dtype)
+        grids = _head_grids(X_hh, hot_ids, jnp.bfloat16, 1 << 16)
         log(f"glove head block: {len(hot_ids)} tokens, "
             f"{tcm.nnz - rem.nnz}/{tcm.nnz} nnz dense, "
             f"{grids[0].shape[0]} tiles")
@@ -229,7 +231,8 @@ def measure_glove(vocab=50_000, nnz=8_000_000, rank=128, seed=0, reps=3):
         c = 0.0
         if grids is not None:
             st, ch = _glove_dense_step(st, *grids,
-                                       x_max=100.0, alpha=0.75, lr=0.05)
+                                       x_max=100.0, alpha=0.75, lr=0.05,
+                                       compute_dtype="bfloat16")
             c = ch
         st, ce = _glove_epoch(st, *shards, x_max=100.0, alpha=0.75, lr=0.05)
         return st, c + ce

@@ -102,7 +102,8 @@ def _glove_epoch(state: GloveState, rows, cols, vals, valid,
 
 
 def _glove_dense_step_impl(ops, state: GloveState, rows, cols, xgrid,
-                           x_max: float, alpha: float, lr: float):
+                           x_max: float, alpha: float, lr: float,
+                           compute_dtype=None):
     """Minibatched pass over the dense head-head co-occurrence block.
 
     Both triplet axes are zipf-distributed, so the (H, H) block of the
@@ -122,45 +123,62 @@ def _glove_dense_step_impl(ops, state: GloveState, rows, cols, xgrid,
     carry all-zero X -> no-op updates); xgrid: (T, Cr, Cc) raw counts
     (0 = absent) — log/weight computed on the fly (the dense step is
     grid-bandwidth-bound, so one grid beats two precomputed ones).
+
+    ``compute_dtype="bfloat16"``: the five (Cr, Cc)-sized matmuls run
+    with bf16 operands and f32 accumulation, and the cost/weight grids
+    stay bf16 (the step is grid-bandwidth-bound; state, biases, AdaGrad
+    accumulators and the loss stay full precision).
     """
+    cdt = state.w_i.dtype if compute_dtype is None else jnp.dtype(
+        compute_dtype)
+    acc = state.w_i.dtype
 
     def tile(st: GloveState, slab):
         r, c, x = slab
         present = x > 0
-        lx = jnp.log(jnp.where(present, x, 1.0))
-        w = jnp.where(x < x_max, jnp.power(x / x_max, alpha), 1.0)
+        xf = x.astype(acc)
+        lx = jnp.log(jnp.where(present, xf, 1.0))
+        w = jnp.where(xf < x_max, jnp.power(xf / x_max, alpha), 1.0)
         w = jnp.where(present, w, 0.0)
         wi, wj, bi, bj = ops.gather_many(
             [(st.w_i, r), (st.w_j, c), (st.b_i, r), (st.b_j, c)])
-        s = (jnp.dot(wi, wj.T, preferred_element_type=wi.dtype)
+        wi_c, wj_c = wi.astype(cdt), wj.astype(cdt)
+        s = (jnp.dot(wi_c, wj_c.T, preferred_element_type=acc)
              + bi[:, None] + bj[None, :] - lx)
         s = jnp.clip(s, -CLIP_VALUE, CLIP_VALUE)
-        cost = w * s                     # weight == 0 -> absent cell
-        loss = jnp.sum(cost * s)
-        c2 = cost * cost
+        # cost/weight grids live at the compute dtype (the step is
+        # grid-bandwidth-bound); every reduction accumulates at ``acc``
+        s_c = s.astype(cdt)
+        cost_c = w.astype(cdt) * s_c     # weight == 0 -> absent cell
+        loss = jnp.sum(cost_c.astype(acc) * s)
+        c2_c = cost_c * cost_c
 
         acc_w_i = ops.scatter_add(
             st.acc_w_i, r,
-            jnp.dot(c2, wj * wj, preferred_element_type=wi.dtype))
+            jnp.dot(c2_c, wj_c * wj_c, preferred_element_type=acc))
         acc_w_j = ops.scatter_add(
             st.acc_w_j, c,
-            jnp.dot(c2.T, wi * wi, preferred_element_type=wi.dtype))
-        acc_b_i = ops.scatter_add(st.acc_b_i, r, jnp.sum(c2, axis=1))
-        acc_b_j = ops.scatter_add(st.acc_b_j, c, jnp.sum(c2, axis=0))
+            jnp.dot(c2_c.T, wi_c * wi_c, preferred_element_type=acc))
+        acc_b_i = ops.scatter_add(st.acc_b_i, r,
+                                  jnp.sum(c2_c, axis=1, dtype=acc))
+        acc_b_j = ops.scatter_add(st.acc_b_j, c,
+                                  jnp.sum(c2_c, axis=0, dtype=acc))
         awi, awj, abi, abj = ops.gather_many(
             [(acc_w_i, r), (acc_w_j, c), (acc_b_i, r), (acc_b_j, c)])
         w_i = ops.scatter_add(
             st.w_i, r,
-            -lr * jnp.dot(cost, wj, preferred_element_type=wi.dtype)
+            -lr * jnp.dot(cost_c, wj_c, preferred_element_type=acc)
             / jnp.sqrt(awi))
         w_j = ops.scatter_add(
             st.w_j, c,
-            -lr * jnp.dot(cost.T, wi, preferred_element_type=wi.dtype)
+            -lr * jnp.dot(cost_c.T, wi_c, preferred_element_type=acc)
             / jnp.sqrt(awj))
-        b_i = ops.scatter_add(st.b_i, r,
-                              -lr * jnp.sum(cost, axis=1) / jnp.sqrt(abi))
-        b_j = ops.scatter_add(st.b_j, c,
-                              -lr * jnp.sum(cost, axis=0) / jnp.sqrt(abj))
+        b_i = ops.scatter_add(
+            st.b_i, r,
+            -lr * jnp.sum(cost_c, axis=1, dtype=acc) / jnp.sqrt(abi))
+        b_j = ops.scatter_add(
+            st.b_j, c,
+            -lr * jnp.sum(cost_c, axis=0, dtype=acc) / jnp.sqrt(abj))
         return GloveState(w_i, w_j, b_i, b_j, acc_w_i, acc_w_j,
                           acc_b_i, acc_b_j), loss
 
@@ -170,12 +188,14 @@ def _glove_dense_step_impl(ops, state: GloveState, rows, cols, xgrid,
     return state, 0.5 * jnp.sum(losses)
 
 
-@partial(jax.jit, static_argnames=("x_max", "alpha", "lr"),
+@partial(jax.jit, static_argnames=("x_max", "alpha", "lr",
+                                   "compute_dtype"),
          donate_argnums=(0,))
 def _glove_dense_step(state: GloveState, rows, cols, xgrid,
-                      x_max: float, alpha: float, lr: float):
+                      x_max: float, alpha: float, lr: float,
+                      compute_dtype=None):
     return _glove_dense_step_impl(_DIRECT, state, rows, cols, xgrid,
-                                  x_max, alpha, lr)
+                                  x_max, alpha, lr, compute_dtype)
 
 
 # Compiled-callable cache for the sharded epoch/dense-step programs (the
@@ -184,8 +204,8 @@ _SHARDED_FNS: dict = {}
 
 
 def _sharded_glove_fn(mesh: Mesh, which: str, x_max: float, alpha: float,
-                      lr: float):
-    key = (mesh, which, x_max, alpha, lr)
+                      lr: float, compute_dtype=None):
+    key = (mesh, which, x_max, alpha, lr, compute_dtype)
     fn = _SHARDED_FNS.get(key)
     if fn is not None:
         return fn
@@ -196,9 +216,11 @@ def _sharded_glove_fn(mesh: Mesh, which: str, x_max: float, alpha: float,
     impl = (_glove_epoch_impl if which == "epoch"
             else _glove_dense_step_impl)
     n_data = 4 if which == "epoch" else 3
+    extra = {} if which == "epoch" else {"compute_dtype": compute_dtype}
 
     def body(state, *data):
-        return impl(ops, state, *data, x_max=x_max, alpha=alpha, lr=lr)
+        return impl(ops, state, *data, x_max=x_max, alpha=alpha, lr=lr,
+                    **extra)
 
     fn = jax.jit(jax.shard_map(
         body, mesh=mesh, in_specs=(st_spec,) + (rep,) * n_data,
@@ -328,8 +350,13 @@ class GloVe:
         seed: Optional[int] = None,
         n_hot="auto",
         mesh: Optional[Mesh] = None,
+        compute_dtype: Optional[str] = None,
     ):
         self.rank = int(rank)
+        #: dense-head matmul/grid dtype ("bfloat16" halves the
+        #: grid-bandwidth-bound head step; state, biases, accumulators
+        #: and the loss stay at ``precision``)
+        self.compute_dtype = compute_dtype
         #: device mesh: when set, the 8 state tables (embeddings, biases,
         #: AdaGrad accumulators) are ROW-SHARDED over the mesh's data axes
         #: — the TPU-native replacement for the reference's shared-memory
@@ -401,12 +428,13 @@ class GloVe:
                 self.learning_rate)
             dense_fn = _sharded_glove_fn(
                 self.mesh, "dense", self.x_max, self.alpha,
-                self.learning_rate)
+                self.learning_rate, self.compute_dtype)
         else:
             epoch_fn = partial(_glove_epoch, x_max=self.x_max,
                                alpha=self.alpha, lr=self.learning_rate)
             dense_fn = partial(_glove_dense_step, x_max=self.x_max,
-                               alpha=self.alpha, lr=self.learning_rate)
+                               alpha=self.alpha, lr=self.learning_rate,
+                               compute_dtype=self.compute_dtype)
 
         nnz = max(coo.nnz, 1)
         self.cost_history = []
@@ -418,9 +446,13 @@ class GloVe:
             n_hot = int(min(n, np.sqrt(cells)))
         hot_ids, X_hh, rem = _split_head(coo, int(n_hot), self.dtype)
         grids = None
+        # the raw-count grid is staged at the compute dtype (bf16 halves
+        # the dominant grid read); log/weight upcast on the fly
+        gdt = (self.dtype if self.compute_dtype is None
+               else resolve_dtype(self.compute_dtype))
         if hot_ids is not None:
-            grids = _head_grids(X_hh, hot_ids, self.dtype, self.batch_size)
-            grids_t = (_head_grids(X_hh.T, hot_ids, self.dtype,
+            grids = _head_grids(X_hh, hot_ids, gdt, self.batch_size)
+            grids_t = (_head_grids(X_hh.T, hot_ids, gdt,
                                    self.batch_size)
                        if is_triangular else None)
             logger.info("glove head block: %d tokens, %d/%d nnz dense",
