@@ -287,3 +287,20 @@ def test_ftrl_sparse_schedule_mode_end_to_end():
     w_small = small.coef()[:d]
     w_big = big.coef()[::stride][:d]
     np.testing.assert_allclose(w_big, w_small, atol=1e-4)
+
+
+def test_glove_bf16_head_converges_like_f32():
+    """compute_dtype='bfloat16' changes only the dense-head matmul/grid
+    width (f32 accumulation) — cost trajectories must track the f32 run
+    closely (models/glove.py compute_dtype)."""
+    rng = np.random.RandomState(0)
+    m = sp.random(300, 300, density=0.1, random_state=rng)
+    m.data = np.abs(m.data) + 1
+    hist = {}
+    for cd in (None, "bfloat16"):
+        g = GloVe(rank=8, x_max=10, learning_rate=0.1, seed=0, n_hot=128,
+                  compute_dtype=cd)
+        g.fit_transform(sp.coo_matrix(m), n_iter=4)
+        hist[cd] = np.asarray(g.cost_history)
+    assert hist["bfloat16"][-1] < hist["bfloat16"][0]
+    np.testing.assert_allclose(hist["bfloat16"], hist[None], rtol=0.02)
