@@ -257,20 +257,6 @@ def scheduled_sums(u_flat: jax.Array, sched: ColSchedule) -> jax.Array:
     return jnp.concatenate(outs, axis=0)
 
 
-def segment_sum_scheduled(u_flat: jax.Array, sched: ColSchedule
-                          ) -> jax.Array:
-    """Dense per-feature sums of flat per-nnz updates (dense-mode
-    schedules only).
-
-    ``u_flat``: (n_flat,) or (n_flat, r).  Returns (table_rows,) or
-    (table_rows, r) — exactly ``zeros.at[col_flat].add(u_flat)`` up to f32
-    summation order, with zero dynamic scatters.
-    """
-    cat = scheduled_sums(u_flat, sched)
-    zero = jnp.zeros((1,) + u_flat.shape[1:], u_flat.dtype)
-    return jnp.concatenate([cat, zero], axis=0)[sched.inv]
-
-
 def scheduled_table_add(ops, table: jax.Array, u_flat: jax.Array,
                         sched: ColSchedule) -> jax.Array:
     """``table += zeros.at[col_flat].add(u_flat)`` through the staged
