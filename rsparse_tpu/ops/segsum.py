@@ -14,12 +14,15 @@ where it occurs — and the update becomes three TPU-friendly ops:
 
     per-nnz updates  u = f(gathered z/n, x, y)       (B, L)   elementwise
     per-feature sums s_f = sum u[positions_f]        gather + masked reduce
-    table update     T += s[inv_perm]                static gather + add
+    table update     T += s[inv_perm]                (dense mode)
+                     T  = T.at[feats].add(s)         (sparse mode)
 
-No dynamic scatter anywhere: ``positions`` and ``inv_perm`` are staged
-int32 arrays, the reduction is a dense masked row-sum, and the table
-update is a full-table elementwise add (tables live happily in VMEM at
-GLM scale).  Sums match scatter-add up to f32 summation order.
+Per-position scatters are gone either way; what remains is mode-chosen
+at build time (see :class:`ColSchedule`): small tables take a full
+dense add (``inv`` gather — zero dynamic scatters), hashed-feature
+tables (rows >> nnz) take ONE scatter of the per-feature sums (the
+dense delta would be O(table_rows) per block).  Sums match per-position
+scatter-add up to f32 summation order.
 
 Features are bucketed by occurrence count on the same geometric grid as
 the row substrate (sparse/device.py), so wildly-popular features don't
