@@ -617,12 +617,13 @@ CPU_PROBES = {
     # production-scale GLMs: FTRL's canonical workload is 1e7-1e9 hashed
     # features (McMahan et al.); rates are table-size-sensitive on BOTH
     # sides (CPU leaves cache, TPU leaves the hot-operand gather regime),
-    # so the denominator must run at the same scale
-    "ftrl_hashed": ("v = bench.measure_ftrl_fm(n_rows=50_000, "
-                    "n_feat=40_000_000, reps=2, "
+    # so the denominator runs the EXACT numerator workload
+    # (n_rows/n_feat/reps all match run_ftrl_fm_hashed)
+    "ftrl_hashed": ("v = bench.measure_ftrl_fm(n_rows=100_000, "
+                    "n_feat=40_000_000, reps=3, "
                     "families=('ftrl',))['ftrl']\n"),
-    "fm_hashed": ("v = bench.measure_ftrl_fm(n_rows=50_000, "
-                  "n_feat=40_000_000, reps=2, "
+    "fm_hashed": ("v = bench.measure_ftrl_fm(n_rows=100_000, "
+                  "n_feat=40_000_000, reps=3, "
                   "families=('fm',))['fm']\n"),
 }
 

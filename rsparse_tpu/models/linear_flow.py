@@ -223,6 +223,8 @@ class LinearFlow(MatrixFactorizationRecommender):
                                   np.log10(10 * ridge.max()), k)
         else:
             lambdas = np.asarray(lambda_, np.float64)
+        if lambdas.size == 0:
+            raise ValueError("lambda_ grid is empty")
 
         xb_train = bucket_rows(train_csr, self.dtype)
         xq = _spmm_jit(xb_train.buckets, self.v, train_csr.shape[0])
@@ -240,10 +242,13 @@ class LinearFlow(MatrixFactorizationRecommender):
             scorer = ap_k if metric_name == "map" else ndcg_k
             score = float(np.nanmean(scorer(idx, x_test)))
             results.append({"lambda": float(lam), "score": score})
-            if score >= best or best_y is None:
+            # NaN scores never win; an unfitted model still records the
+            # first solve so cross-validate-then-predict works
+            if score >= best or (best_y is None and self.components is None):
                 best = score
                 best_y = Y          # device-resident; materialized once
                 self.lambda_ = float(lam)
             logger.info("lambda %.4f score %.4f", lam, score)
-        self.components = np.asarray(best_y)
+        if best_y is not None:      # all-NaN scores keep prior components
+            self.components = np.asarray(best_y)
         return results

@@ -103,14 +103,19 @@ def build_col_schedule(
     round 4).
     """
     n_flat = int(col_flat.size)
-    order = np.argsort(col_flat, kind="stable").astype(np.int64)
-    # per-active-feature occurrence counts WITHOUT any O(table_rows) host
-    # array (a bincount(minlength=4e7) per block dominated staging)
-    active, occ = np.unique(col_flat[order], return_counts=True)
-    if active.size == 0:
+    if n_flat == 0:
         return ColSchedule((), (), None, None)
-    active = active.astype(np.int64)
-    starts = np.cumsum(occ) - occ          # first sorted position per feat
+    order = np.argsort(col_flat, kind="stable").astype(np.int64)
+    # per-active-feature occurrence counts from ONE sort: run boundaries
+    # of the sorted copy (np.unique would re-sort; a
+    # bincount(minlength=4e7) per block dominated staging before that)
+    sc = col_flat[order]
+    first = np.empty(n_flat, bool)
+    first[0] = True
+    np.not_equal(sc[1:], sc[:-1], out=first[1:])
+    starts = np.flatnonzero(first)         # first sorted position per feat
+    active = sc[starts].astype(np.int64)
+    occ = np.diff(np.append(starts, n_flat))
 
     lengths = 2 ** np.ceil(np.log2(occ)).astype(np.int64)
     lengths = np.maximum(lengths, 1)
@@ -120,7 +125,7 @@ def build_col_schedule(
         lengths[lengths == uniq[k]] = uniq[k + 1]
         uniq, ucounts = np.unique(lengths, return_counts=True)
 
-    pos_out: List[jax.Array] = []
+    pos_np: List[np.ndarray] = []
     nnz_out: List[jax.Array] = []
     feats_np: List[np.ndarray] = []
     meta: List[Tuple[np.ndarray, int]] = []   # (feature ids, row offset)
@@ -140,9 +145,9 @@ def build_col_schedule(
             valid, order[np.minimum(flat, n_flat - 1)], n_flat)
         fp = np.zeros((B,), np.int32)          # padding rows -> row 0,
         fp[: len(feats)] = feats               # their sums are exactly 0
-        meta.append((feats, offset, pos))
+        meta.append((feats, offset))
         offset += B
-        pos_out.append(jnp.asarray(pos))
+        pos_np.append(pos)
         nnz_out.append(jnp.asarray(nnz))
         feats_np.append(fp)
 
@@ -150,23 +155,24 @@ def build_col_schedule(
     # position appears in exactly one pos list; padding writes land in
     # the spare trailing slot)
     rop = np.zeros(n_flat + 1, np.int32)
-    for _, off, pos in meta:
+    for (_, off), pos in zip(meta, pos_np):
         B, L = pos.shape
         rows = np.broadcast_to(
             (off + np.arange(B, dtype=np.int32))[:, None], (B, L))
         rop[np.minimum(pos, n_flat)] = rows
     row_of_pos = jnp.asarray(rop[:n_flat])
+    pos_out = tuple(jnp.asarray(p) for p in pos_np)
 
     if table_rows > sparse_factor * offset:
-        return ColSchedule(tuple(pos_out), tuple(nnz_out), None,
+        return ColSchedule(pos_out, tuple(nnz_out), None,
                            jnp.asarray(np.concatenate(feats_np)),
                            row_of_pos)
 
     # dense: absent features read the trailing zero row of the sums
     inv_final = np.full((table_rows,), offset, np.int32)
-    for feats, off, _ in meta:
+    for feats, off in meta:
         inv_final[feats] = off + np.arange(len(feats), dtype=np.int32)
-    return ColSchedule(tuple(pos_out), tuple(nnz_out),
+    return ColSchedule(pos_out, tuple(nnz_out),
                        jnp.asarray(inv_final), None, row_of_pos)
 
 
