@@ -209,8 +209,9 @@ def measure_glove(vocab=50_000, nnz=8_000_000, rank=128, seed=0, reps=3):
     # of the metric)
     import jax.numpy as jnp
     from rsparse_tpu.models.glove import (GloveState, _glove_dense_step,
-                                          _glove_epoch, _head_grids,
-                                          _split_head, _stack_coo)
+                                          _glove_epoch_sched, _head_grids,
+                                          _split_head, _stack_coo_host)
+    from rsparse_tpu.ops.segsum import build_stacked_col_schedule
     hot_ids, X_hh, rem = _split_head(tcm, int((1 << 29) ** 0.5))
     grids = None
     if hot_ids is not None:
@@ -220,7 +221,11 @@ def measure_glove(vocab=50_000, nnz=8_000_000, rank=128, seed=0, reps=3):
         log(f"glove head block: {len(hot_ids)} tokens, "
             f"{tcm.nnz - rem.nnz}/{tcm.nnz} nnz dense, "
             f"{grids[0].shape[0]} tiles")
-    shards = _stack_coo(rem, 1 << 16, jnp.float32)
+    r_np, c_np, v_np, m_np = _stack_coo_host(rem, 1 << 16)
+    shards = (jnp.asarray(r_np), jnp.asarray(c_np),
+              jnp.asarray(v_np, jnp.float32), jnp.asarray(m_np))
+    sched_r = build_stacked_col_schedule(r_np, m_np, vocab)
+    sched_c = build_stacked_col_schedule(c_np, m_np, vocab)
     r2 = np.random.default_rng(seed)
     st = GloveState(
         w_i=jnp.asarray(r2.uniform(-0.5, 0.5, (vocab, rank)), jnp.float32),
@@ -239,7 +244,8 @@ def measure_glove(vocab=50_000, nnz=8_000_000, rank=128, seed=0, reps=3):
                                        x_max=100.0, alpha=0.75, lr=0.05,
                                        compute_dtype="bfloat16")
             c = ch
-        st, ce = _glove_epoch(st, *shards, x_max=100.0, alpha=0.75, lr=0.05)
+        st, ce = _glove_epoch_sched(st, *shards, sched_r, sched_c,
+                                    x_max=100.0, alpha=0.75, lr=0.05)
         return st, c + ce
 
     t0 = time.time()
@@ -492,7 +498,10 @@ def measure_linear_flow(csr, rank=256, cv_users=16_384):
     log(f"linear_flow cross_validate_lambda (5 lambdas, {cv_users} users): "
         f"{cv_s:.1f}s total, best map@10={best:.4f}")
     return {"fit_s": fit_s, "fit_warm_s": fit_warm_s, "cv_s": cv_s,
-            "per_lambda_s": cv_s / 5}
+            "per_lambda_s": cv_s / 5,
+            "budget": "fixed 10 soft-als iters (V not converged at "
+                      "tol 1e-3; timings and CV quality are "
+                      "fixed-budget, not converged-V numbers)"}
 
 
 def measure_fit_e2e(csr, rank):

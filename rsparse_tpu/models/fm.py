@@ -3,8 +3,9 @@
 Re-design of the reference FM (R/model_FactorizationMachine.R:22-182 over
 src/factorization_machine.cpp:8-194).  The reference is hogwild per-row
 AdaGrad SGD; here rows are bucketed into padded (B, L) blocks and each block
-is a deterministic jitted update using accumulator-first AdaGrad scatter-adds
-(see glove.py for the rationale).
+is a deterministic jitted update computed in the feature-grouped scheduled
+layout (ops/segsum.py SchedLayout) with accumulator-first AdaGrad factored
+per feature (see glove.py for the accumulator-ordering rationale).
 
 Per-sample math matches the reference:
   pred = w0 + sum w_j x_j + 0.5 * sum_f [(sum v_fj x_j)^2 - sum (v_fj x_j)^2]
@@ -35,11 +36,11 @@ CLIP_VALUE = 100.0
 _DIRECT = DirectOps()
 
 
-def _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v, col_idx, values,
-                   mask, y, sample_w, lr_w, lr_v, lam_w, lam_v,
-                   family: int, intercept: bool, do_update: bool,
-                   sched=None):
-    """One padded row-block of FM predict (+optional update).
+def _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v, values,
+                   y, sample_w, lr_w, lr_v, lam_w, lam_v, layout,
+                   family: int, intercept: bool, do_update: bool):
+    """One padded row-block of FM predict (+optional update), computed in
+    the feature-grouped scheduled layout (ops/segsum.py SchedLayout).
 
     w: (F+1,), v: (F+1, r) with a padding slot at index F, kept as
     SEPARATE tables: TPU tiles 2-D arrays to (8, 128) blocks, so packing
@@ -49,29 +50,54 @@ def _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v, col_idx, values,
     (parallel/sgd_sharded.py): same kernel single-device or row-sharded;
     (w0, acc_w0) are scalars, updated replicated.
 
-    With ``sched`` (ops/segsum.py) every table updates through the
-    scheduled segment-sum: per-feature sums replace per-position
-    scatters, then apply as a dense full-table add (small tables) or an
-    active-rows-only scatter (hashed-feature scale, where a dense (F, r)
-    delta would write the full table twice per phase).
+    All table reads (w, v and their AdaGrad accumulators) are
+    per-FEATURE broadcasts; accumulator-first AdaGrad factors every
+    table write into a per-feature sum (``delta_f = -lr * sum(g) /
+    sqrt(acc_f + sum(g^2))`` — all occurrences of a feature share the
+    freshly-summed accumulator).  Per-position traffic is three
+    minibatch-operand permute-gathers: packed prediction contributions
+    ``[w_f x, v_f x, (v_f x)^2]`` sched->row, and the per-row ``dL`` /
+    ``s1`` row->sched for the gradient.  Per-sample math still matches
+    src/factorization_machine.cpp:93-190.
     """
-    x = jnp.where(mask, values, 0.0)                    # (B, L)
-    use_sums = do_update and sched is not None and len(sched.pos) > 0
-    if use_sums:
-        # fold the accumulator reads into the ONE cold gather round: the
-        # post-update accumulator image at each position is
-        # old + featsum[row_of_pos] (ops/segsum.py), so no re-gather of
-        # the freshly-updated tables is needed
-        wg, vg, awg, avg = ops.gather_many(
-            [(w, col_idx), (v, col_idx),
-             (acc_w, col_idx), (acc_v, col_idx)])
-    else:
-        wg, vg = ops.gather_many([(w, col_idx), (v, col_idx)])
-    vx = vg * x[..., None]                              # (B, L, r)
-    s1 = jnp.sum(vx, axis=1)                            # (B, r)
-    s2 = jnp.sum(vx * vx, axis=1)
-    raw = (w0 + jnp.sum(wg * x, axis=1)
-           + 0.5 * jnp.sum(s1 * s1 - s2, axis=1))       # (B,)
+    B, L = values.shape
+    r = v.shape[1]
+    nb = len(layout.feats_c)
+    if nb == 0:
+        raw0 = jnp.full((B,), w0, values.dtype)
+        yh = jax.nn.sigmoid(raw0) if family == 1 else raw0
+        return w0, acc_w0, w, v, acc_w, acc_v, yh
+
+    from ..ops.segsum import (sched_apply_sums_multi, sched_reduce_chunks,
+                              sched_to_rows)
+
+    # chunk-level (w, v) reads for the per-position math; level-2
+    # accumulator reads for the per-feature factored AdaGrad step
+    pairs = [(w, f) for f in layout.feats_c]
+    pairs += [(v, f) for f in layout.feats_c]
+    if do_update:
+        pairs += [(acc_w, f) for f in layout.feats]
+        pairs += [(acc_v, f) for f in layout.feats]
+    flat = ops.gather_many(pairs)
+    n2 = len(layout.feats)
+    wf, vf = flat[:nb], flat[nb:2 * nb]
+    if do_update:
+        awf = jnp.concatenate(flat[2 * nb:2 * nb + n2], axis=0)
+        avf = jnp.concatenate(flat[2 * nb + n2:], axis=0)
+
+    # packed per-position prediction contributions, built per feature:
+    # [:, :, 0] = w_f x, [:, :, 1:r+1] = v_f x, [:, :, r+1:] = (v_f x)^2
+    packs = []
+    for k in range(nb):
+        xk = layout.vals[k]                              # (Bk, Lk)
+        cvk = vf[k][:, None, :] * xk[..., None]          # (Bk, Lk, r)
+        packs.append(jnp.concatenate(
+            [(wf[k][:, None] * xk)[..., None], cvk, cvk * cvk], axis=-1))
+    c_row = sched_to_rows(packs, layout, B, L)           # (B, L, 2r+1)
+    s1 = jnp.sum(c_row[..., 1:r + 1], axis=1)            # (B, r)
+    raw = (w0 + jnp.sum(c_row[..., 0], axis=1)
+           + 0.5 * (jnp.sum(s1 * s1, axis=1)
+                    - jnp.sum(c_row[..., r + 1:], axis=(1, 2))))
     y_hat = jax.nn.sigmoid(raw) if family == 1 else raw
 
     if not do_update:
@@ -81,7 +107,7 @@ def _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v, col_idx, values,
         dL = (jax.nn.sigmoid(raw * y) - 1.0) * y
     else:
         dL = 2.0 * (raw - y)
-    dL = dL * sample_w                                  # (B,)
+    dL = dL * sample_w                                   # (B,)
 
     if intercept:
         # the reference updates w0 per sample without AdaGrad
@@ -90,53 +116,49 @@ def _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v, col_idx, values,
         acc_w0 = acc_w0 + jnp.sum(dL * dL)
         w0 = w0 - lr_w * jnp.sum(dL) / jnp.sqrt(acc_w0)
 
-    g_w = jnp.clip(x * dL[:, None] + 2.0 * lam_w, -CLIP_VALUE, CLIP_VALUE)
-    g_w = jnp.where(mask, g_w, 0.0)
-    # grad_v_j = dL * x_j * (s1 - v_j x_j) + 2 lambda_v v_j
-    g_v = (dL[:, None, None] * x[..., None] * (s1[:, None, :] - vx)
-           + 2.0 * lam_v * vg)
-    g_v = jnp.clip(g_v, -CLIP_VALUE, CLIP_VALUE)
-    g_v = jnp.where(mask[..., None], g_v, 0.0)
-
-    # accumulator-first AdaGrad: fold squared grads in, then re-gather the
-    # updated accumulators (duplicate features in a block see the summed
-    # accumulator, matching the single-device .at[].add-then-index order)
-    r = v.shape[1]
-    if use_sums:
-        from ..ops.segsum import (scheduled_sums, scheduled_table_add,
-                                  scheduled_table_add_sums)
-        B, L = col_idx.shape
-        sums_w = scheduled_sums((g_w * g_w).reshape(-1), sched)
-        sums_v = scheduled_sums((g_v * g_v).reshape(-1, r), sched)
-        acc_w = scheduled_table_add_sums(ops, acc_w, sums_w, sched)
-        acc_v = scheduled_table_add_sums(ops, acc_v, sums_v, sched)
-        rop = sched.row_of_pos
-        aw = awg + sums_w[rop].reshape(B, L)
-        av = avg + sums_v[rop].reshape(B, L, r)
-        w = scheduled_table_add(ops, w,
-                                (-lr_w * g_w / jnp.sqrt(aw)).reshape(-1),
-                                sched)
-        v = scheduled_table_add(
-            ops, v, (-lr_v * g_v / jnp.sqrt(av)).reshape(-1, r), sched)
-    else:
-        acc_w = ops.scatter_add(acc_w, col_idx, g_w * g_w)
-        acc_v = ops.scatter_add(acc_v, col_idx, g_v * g_v)
-        aw, av = ops.gather_many([(acc_w, col_idx), (acc_v, col_idx)])
-        w = ops.scatter_add(w, col_idx, -lr_w * g_w / jnp.sqrt(aw))
-        v = ops.scatter_add(v, col_idx, -lr_v * g_v / jnp.sqrt(av))
+    chunks = []
+    for k in range(nb):
+        xk = layout.vals[k]                              # (Ck, Lk)
+        ok = (jax.lax.broadcasted_iota(jnp.int32, xk.shape, 1)
+              < layout.nnz[k][:, None])
+        dk = dL[layout.rows[k]]                          # (Ck, Lk)
+        s1k = s1[layout.rows[k]]                         # (Ck, Lk, r)
+        g_w = jnp.clip(xk * dk + 2.0 * lam_w, -CLIP_VALUE, CLIP_VALUE)
+        g_w = jnp.where(ok, g_w, 0.0)
+        vxk = vf[k][:, None, :] * xk[..., None]
+        g_v = (dk[..., None] * xk[..., None] * (s1k - vxk)
+               + 2.0 * lam_v * vf[k][:, None, :])
+        g_v = jnp.clip(g_v, -CLIP_VALUE, CLIP_VALUE)
+        g_v = jnp.where(ok[..., None], g_v, 0.0)
+        # per-chunk partials packed [sum g_w, sum g_w^2, sum g_v, sum g_v^2]
+        chunks.append(jnp.concatenate(
+            [jnp.sum(g_w, axis=1)[:, None],
+             jnp.sum(g_w * g_w, axis=1)[:, None],
+             jnp.sum(g_v, axis=1), jnp.sum(g_v * g_v, axis=1)], axis=-1))
+    red = sched_reduce_chunks(jnp.concatenate(chunks, axis=0), layout)
+    sw_sum, sw2 = red[:, 0], red[:, 1]                   # (F2,)
+    sv_sum, sv2 = red[:, 2:2 + r], red[:, 2 + r:]        # (F2, r)
+    # accumulator-first AdaGrad, factored per feature: every occurrence
+    # shares the freshly-summed accumulator
+    acc_w, w = sched_apply_sums_multi(
+        ops, [(acc_w, sw2),
+              (w, -lr_w * sw_sum / jnp.sqrt(awf + sw2))], layout)
+    acc_v, v = sched_apply_sums_multi(
+        ops, [(acc_v, sv2),
+              (v, -lr_v * sv_sum / jnp.sqrt(avf + sv2))], layout)
 
     return w0, acc_w0, w, v, acc_w, acc_v, y_hat
 
 
 @partial(jax.jit, static_argnames=("family", "intercept", "do_update"),
          donate_argnums=(0, 1, 2, 3, 4, 5))
-def _fm_block(w0, acc_w0, w, v, acc_w, acc_v, col_idx, values, mask, y,
-              sample_w, lr_w, lr_v, lam_w, lam_v, sched=None, *,
+def _fm_block(w0, acc_w0, w, v, acc_w, acc_v, values, y,
+              sample_w, lr_w, lr_v, lam_w, lam_v, layout, *,
               family: int, intercept: bool, do_update: bool):
     return _fm_block_impl(_DIRECT, w0, acc_w0, w, v, acc_w, acc_v,
-                          col_idx, values, mask, y, sample_w, lr_w, lr_v,
-                          lam_w, lam_v, family, intercept, do_update,
-                          sched)
+                          values, y, sample_w, lr_w, lr_v,
+                          lam_w, lam_v, layout, family, intercept,
+                          do_update)
 
 
 _SHARDED_FNS: dict = {}
@@ -152,16 +174,16 @@ def _sharded_fm_fn(mesh: Mesh, family: int, intercept: bool,
     ops = ShardedOps(axes)
     tab, rep = P(axes), P()
 
-    def body(w0, acc_w0, w, v, acc_w, acc_v, col_idx, values, mask, y,
-             sample_w, lr_w, lr_v, lam_w, lam_v, sched):
+    def body(w0, acc_w0, w, v, acc_w, acc_v, values, y,
+             sample_w, lr_w, lr_v, lam_w, lam_v, layout):
         return _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v,
-                              col_idx, values, mask, y, sample_w, lr_w,
-                              lr_v, lam_w, lam_v, family, intercept,
-                              do_update, sched)
+                              values, y, sample_w, lr_w,
+                              lr_v, lam_w, lam_v, layout, family,
+                              intercept, do_update)
 
     fn = jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(rep, rep, tab, tab, tab, tab) + (rep,) * 10,
+        in_specs=(rep, rep, tab, tab, tab, tab) + (rep,) * 8,
         out_specs=(rep, rep, tab, tab, tab, tab, rep), check_vma=False),
         donate_argnums=(0, 1, 2, 3, 4, 5))
     _SHARDED_FNS[key] = fn
@@ -259,8 +281,8 @@ class FactorizationMachine:
 
         from ..ops.segsum import staged_label_gathers
         from .ftrl import _staged_blocks
-        br, scheds, masks = _staged_blocks(csr, self.dtype,
-                                           self.n_features, self.mesh)
+        br, layouts = _staged_blocks(csr, self.dtype,
+                                     self.n_features, self.mesh)
         # zero sample weight on batch-padding rows: dL carries sample_w,
         # so this kills their (otherwise unmasked) intercept/accumulator
         # contributions — the reference updates w0 once per REAL sample
@@ -276,14 +298,13 @@ class FactorizationMachine:
                            intercept=self.intercept, do_update=do_update)
         y_hat = np.empty(n_rows, np.float64)
         outs = []  # defer device->host reads so dispatches pipeline
-        for b, sc, mk, (y_b, w_b) in zip(br.buckets, scheds, masks, labels):
+        for b, lay, (y_b, w_b) in zip(br.buckets, layouts, labels):
             (self.w0, self.acc_w0, self.w, self.v, self.acc_w, self.acc_v,
              yh) = step(
                 self.w0, self.acc_w0, self.w, self.v, self.acc_w,
-                self.acc_v, b.col_idx, b.values, mk, y_b, w_b,
+                self.acc_v, b.values, y_b, w_b,
                 self.learning_rate_w, self.learning_rate_v,
-                self.lambda_w, self.lambda_v,
-                sc if do_update else None)
+                self.lambda_w, self.lambda_v, lay)
             outs.append((b.row_ids, yh))
         if not materialize:
             # mid-fit pass: predictions discarded by the caller; skip the

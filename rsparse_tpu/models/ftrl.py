@@ -38,11 +38,11 @@ _DIRECT = DirectOps()
 
 def _staged_blocks(csr, dtype, n_features: int, mesh):
     # 1<<20-element blocks: the flat update operand stays ~8 MB, small
-    # enough that the scheduled segment-sum's gathers hit cache instead of
+    # enough that the scheduled permute-gathers hit cache instead of
     # cold HBM (4x block growth measured 3x SLOWER per row, PERF.md r4)
-    from ..ops.segsum import staged_blocks_with_schedules
-    return staged_blocks_with_schedules(csr, dtype, n_features, mesh,
-                                        "glm_blocks", max_elems=1 << 20)
+    from ..ops.segsum import staged_blocks_with_layouts
+    return staged_blocks_with_layouts(csr, dtype, n_features, mesh,
+                                      "glm_blocks", max_elems=1 << 20)
 
 
 def _link(x, family: int):
@@ -61,10 +61,11 @@ def _lazy_weights(z, n, lr, decay, l1, l2):
     return jnp.where(active, w, 0.0)
 
 
-def _ftrl_block_impl(ops, z, n, col_idx, values, mask, y, sample_w,
-                     dropout_key, lr, decay, l1, l2, dropout, family: int,
-                     do_update: bool, use_dropout: bool, sched=None):
-    """One padded row-block update (or pure prediction).
+def _ftrl_block_impl(ops, z, n, values, y, sample_w, dropout_key,
+                     lr, decay, l1, l2, dropout, layout, family: int,
+                     do_update: bool, use_dropout: bool):
+    """One padded row-block update (or pure prediction), computed in the
+    feature-grouped scheduled layout (ops/segsum.py SchedLayout).
 
     z and n stay SEPARATE 1-D tables: TPU tiles 2-D arrays to (8, 128)
     blocks, so a packed (F, 2) table physically occupies (F, 128) — a 64x
@@ -74,53 +75,81 @@ def _ftrl_block_impl(ops, z, n, col_idx, values, mask, y, sample_w,
     (parallel/sgd_sharded.py): the same kernel runs single-device and
     row-sharded under shard_map.
 
-    ``sched`` (ops/segsum.py ColSchedule): scatter-free update — each
-    table's delta reduces through a scheduled 1-D segment-sum and applies
-    as a dense table add (TPU scatter-add runs at ~106M update rows/s vs
-    ~400M gather rows/s).
+    All table reads are per-FEATURE (one (z, n) row per distinct feature,
+    broadcast across its occurrences) and all table writes are
+    per-feature sums — the per-position table traffic of the row-major
+    kernel (2 gathers for (z, n) + 2 scheduled-sum gathers per pass,
+    PERF.md round 4) collapses to two minibatch-operand permute-gathers:
+    prediction contributions sched->row, the per-row gradient scalar
+    row->sched.  Per-element math still matches src/FTRL.cpp:78-166
+    exactly; sums equal the reference's per-position updates to f32
+    summation order.
 
     ``use_dropout`` must be False when dropout == 0: the (B, L) uniform
     draw is a threefry evaluation per nnz and costs more than the whole
-    elementwise chain.
+    elementwise chain.  With dropout the scheduled values are re-gathered
+    from the row-layout dropped values through ``layout.pos`` (the draw
+    must agree between the prediction and update layouts).
     """
-    vals = jnp.where(mask, values, 0.0)
-    if do_update and use_dropout:
-        keep = jax.random.uniform(dropout_key, vals.shape) > dropout
-        scale = 1.0 / (1.0 - dropout)
-        vals = jnp.where(keep, vals * scale, 0.0)
-        mask = mask & keep
+    from ..ops.segsum import (sched_apply_sums_multi, sched_reduce_chunks,
+                              sched_to_rows)
 
-    zg, ng = ops.gather_many([(z, col_idx), (n, col_idx)])
-    w = jnp.where(mask, _lazy_weights(zg, ng, lr, decay, l1, l2), 0.0)
-    y_hat = _link(jnp.sum(w * vals, axis=1), family)
+    B, L = values.shape
+    nb = len(layout.feats_c)
+    if nb == 0:
+        return z, n, _link(jnp.zeros((B,), values.dtype), family)
+
+    pairs = []
+    for f in layout.feats_c:
+        pairs.append((z, f))
+        pairs.append((n, f))
+    flat = ops.gather_many(pairs)
+    zf, nf = flat[0::2], flat[1::2]
+    wf = [_lazy_weights(zf[k], nf[k], lr, decay, l1, l2)
+          for k in range(nb)]
+
+    if do_update and use_dropout:
+        keep = jax.random.uniform(dropout_key, values.shape) > dropout
+        vrow = jnp.where(keep, values * (1.0 / (1.0 - dropout)), 0.0)
+        vflat = jnp.concatenate(
+            [vrow.reshape(-1), jnp.zeros((1,), vrow.dtype)])
+        vals_k = [vflat[p] for p in layout.pos]
+    else:
+        vals_k = list(layout.vals)
+
+    c_row = sched_to_rows([wf[k][:, None] * vals_k[k] for k in range(nb)],
+                          layout, B, L)
+    y_hat = _link(jnp.sum(c_row, axis=1), family)
 
     if not do_update:
         return z, n, y_hat
 
-    d = sample_w * (y_hat - y)
-    g = jnp.clip(d[:, None] * vals, -CLIP_GRAD, CLIP_GRAD)
-    g = jnp.where(mask, g, 0.0)
-    g2 = g * g
-    sigma = (jnp.sqrt(ng + g2) - jnp.sqrt(ng)) / lr
-    uz = jnp.where(mask, g - sigma * w, 0.0)
-    if sched is not None:
-        from ..ops.segsum import scheduled_table_add
-        z = scheduled_table_add(ops, z, uz.reshape(-1), sched)
-        n = scheduled_table_add(ops, n, g2.reshape(-1), sched)
-    else:
-        z = ops.scatter_add(z, col_idx, uz)
-        n = ops.scatter_add(n, col_idx, g2)
+    d = sample_w * (y_hat - y)                      # (B,)
+    chunks = []
+    for k in range(nb):
+        g = jnp.clip(d[layout.rows[k]] * vals_k[k],
+                     -CLIP_GRAD, CLIP_GRAD)
+        g2 = g * g
+        nfk = nf[k][:, None]
+        sigma = (jnp.sqrt(nfk + g2) - jnp.sqrt(nfk)) / lr
+        uz = g - sigma * wf[k][:, None]
+        chunks.append(jnp.stack(
+            [jnp.sum(uz, axis=1), jnp.sum(g2, axis=1)], axis=-1))
+    red = sched_reduce_chunks(jnp.concatenate(chunks, axis=0), layout)
+    z, n = sched_apply_sums_multi(
+        ops, [(z, red[:, 0]), (n, red[:, 1])], layout)
     return z, n, y_hat
 
 
 @partial(jax.jit, static_argnames=("family", "do_update", "use_dropout"),
          donate_argnums=(0, 1))
-def _ftrl_block(z, n, col_idx, values, mask, y, sample_w, dropout_key,
-                lr, decay, l1, l2, dropout, sched=None, *, family: int,
+def _ftrl_block(z, n, values, y, sample_w, dropout_key,
+                lr, decay, l1, l2, dropout, layout, *, family: int,
                 do_update: bool, use_dropout: bool):
-    return _ftrl_block_impl(_DIRECT, z, n, col_idx, values, mask, y,
+    return _ftrl_block_impl(_DIRECT, z, n, values, y,
                             sample_w, dropout_key, lr, decay, l1, l2,
-                            dropout, family, do_update, use_dropout, sched)
+                            dropout, layout, family, do_update,
+                            use_dropout)
 
 
 _SHARDED_FNS: dict = {}
@@ -136,15 +165,15 @@ def _sharded_ftrl_fn(mesh: Mesh, family: int, do_update: bool,
     ops = ShardedOps(axes)
     tab, rep = P(axes), P()
 
-    def body(z, n, col_idx, values, mask, y, sample_w, dropout_key,
-             lr, decay, l1, l2, dropout, sched):
-        return _ftrl_block_impl(ops, z, n, col_idx, values, mask, y,
+    def body(z, n, values, y, sample_w, dropout_key,
+             lr, decay, l1, l2, dropout, layout):
+        return _ftrl_block_impl(ops, z, n, values, y,
                                 sample_w, dropout_key, lr, decay, l1, l2,
-                                dropout, family, do_update, use_dropout,
-                                sched)
+                                dropout, layout, family, do_update,
+                                use_dropout)
 
     fn = jax.jit(jax.shard_map(
-        body, mesh=mesh, in_specs=(tab, tab) + (rep,) * 12,
+        body, mesh=mesh, in_specs=(tab, tab) + (rep,) * 10,
         out_specs=(tab, tab, rep), check_vma=False),
         donate_argnums=(0, 1))
     _SHARDED_FNS[key] = fn
@@ -230,14 +259,14 @@ class FTRL:
         weights = (np.ones(n_rows) if weights is None
                    else np.asarray(weights, np.float64))
 
-        br, scheds, masks = _staged_blocks(csr, self.dtype,
-                                           self.n_features, self.mesh)
+        br, layouts = _staged_blocks(csr, self.dtype,
+                                     self.n_features, self.mesh)
         from ..ops.segsum import staged_label_gathers
         labels = staged_label_gathers("ftrl_y", csr, y, weights, br,
                                       self.dtype, self.mesh,
                                       zero_pad_weight=False)
         y_hat = np.empty(n_rows, np.float64)
-        use_dropout = self.dropout > 0
+        use_dropout = do_update and self.dropout > 0
         if self.mesh is not None:
             step = _sharded_ftrl_fn(self.mesh, self.family_code, do_update,
                                     use_dropout)
@@ -245,15 +274,14 @@ class FTRL:
             step = partial(_ftrl_block, family=self.family_code,
                            do_update=do_update, use_dropout=use_dropout)
         outs = []  # defer device->host reads so dispatches pipeline
-        for b, sc, mk, (y_b, w_b) in zip(br.buckets, scheds, masks, labels):
+        for b, lay, (y_b, w_b) in zip(br.buckets, layouts, labels):
             self._key, sub = jax.random.split(self._key)
             if self.mesh is not None:
                 sub = replicate_on(self.mesh, sub)
             self.z, self.n, yh = step(
-                self.z, self.n, b.col_idx, b.values, mk, y_b, w_b, sub,
+                self.z, self.n, b.values, y_b, w_b, sub,
                 self.learning_rate, self.learning_rate_decay,
-                self._l1, self._l2, self.dropout,
-                sc if do_update else None)
+                self._l1, self._l2, self.dropout, lay)
             outs.append((b.row_ids, yh))
         if not materialize:
             # mid-fit pass: the caller discards the predictions; skip the

@@ -28,8 +28,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import logger, resolve_dtype
 from ..parallel.sgd_sharded import (
-    DirectOps, ShardedOps, mesh_table_axes, replicate_on, shard_table,
-    unshard)
+    DirectOps, ShardedOps, mesh_table_axes, padded_rows, replicate_on,
+    shard_table, unshard)
 
 CLIP_VALUE = 100.0  # reference src/rsparse.h:19
 
@@ -72,9 +72,14 @@ def _glove_epoch_impl(ops, state: GloveState, rows, cols, vals, valid,
 
         # Accumulator-first AdaGrad: fold this shard's squared grads into the
         # accumulators *before* scaling.  The reference's per-sample loop
-        # updates after (src/GloVe.cpp:136-146), which is equivalent sample
-        # by sample but diverges under minibatching — high-degree nodes would
-        # sum many full-size steps against a stale accumulator.
+        # scales by the accumulator EXCLUDING the current sample's g^2 and
+        # folds it in after (src/GloVe.cpp:134-146); accumulator-first adds
+        # the current g^2 to the denominator, a deliberate deviation (each
+        # step is slightly more conservative, and bounded by the same-batch
+        # duplicate handling: high-degree nodes would otherwise sum many
+        # full-size steps against a stale accumulator).  The batch-size-1
+        # deviation from the reference ordering is bounded by the per-sample
+        # replica test (tests/test_reference_replica.py).
         acc_w_i = ops.scatter_add(st.acc_w_i, r, g_wi * g_wi)
         acc_w_j = ops.scatter_add(st.acc_w_j, c, g_wj * g_wj)
         acc_b_i = ops.scatter_add(st.acc_b_i, r, cost * cost)
@@ -99,6 +104,103 @@ def _glove_epoch(state: GloveState, rows, cols, vals, valid,
                  x_max: float, alpha: float, lr: float):
     return _glove_epoch_impl(_DIRECT, state, rows, cols, vals, valid,
                              x_max, alpha, lr)
+
+
+def _glove_epoch_sched_impl(ops, state: GloveState, rows, cols, vals,
+                            valid, sched_r, sched_c, x_max: float,
+                            alpha: float, lr: float):
+    """Scheduled (scatter-free) epoch over stacked COO shards.
+
+    Replaces the 8 scatter-adds + 4 accumulator re-gathers per shard of
+    :func:`_glove_epoch_impl` (measured 103 + 36 of a 187 ms tail,
+    PERF.md round 4) with per-feature sums: because accumulator-first
+    AdaGrad gives every occurrence of a feature the same freshly-summed
+    accumulator, each side's whole update factors per feature into
+    ``delta_f = -lr * sum(g) / sqrt(acc_f + sum(g^2))``, applied as a
+    dense table add (ops/segsum.py).  Per-position traffic beyond the
+    4 embedding/bias gathers is ONE (r+1)-wide permute-gather per side
+    (packed ``[g_w, g_b]``).  Update math is identical to the scatter
+    path modulo f32 summation order (parity-tested).
+
+    ``sched_r``/``sched_c`` (ops/segsum.py StackedSchedule) carry one
+    schedule per scanned shard; valid for fixed shard contents only —
+    the within-shard triplet order is irrelevant (per-shard updates are
+    feature sums either way), so device shuffles must permute shard
+    order, not the flat nnz axis.
+    """
+    from ..ops.segsum import sched_apply_sums_multi, sched_reduce_chunks
+
+    def side(cost, g, sched, t_w, t_b, t_acc_w, t_acc_b):
+        # TILE DISCIPLINE: g stays (N, r) — r is a multiple of the
+        # 128-lane tile in the bench regime, and a single concatenated
+        # (N, r+1) operand physically pads to the next whole tile,
+        # doubling every gather's row traffic (measured +50 ms/epoch).
+        # Bias grads travel separately as scalar gathers (width-1 rows
+        # fetch at full row rate, PERF.md round-4 matrix).  Sentinel
+        # positions use OOB-fill gathers instead of a zero-row concat.
+        r = g.shape[1]
+        pairs = []
+        for f in sched.feats:
+            pairs += [(t_acc_w, f), (t_acc_b, f)]
+        fl = ops.gather_many(pairs)
+        aw = jnp.concatenate(fl[0::2], axis=0)               # (F_tot, r)
+        ab = jnp.concatenate(fl[1::2], axis=0)               # (F_tot,)
+        wchunks, bchunks = [], []
+        for pk in sched.pos:
+            Gk = jnp.take(g, pk, axis=0, mode="fill",
+                          fill_value=0)                      # (Ck, Lk, r)
+            ck = jnp.take(cost, pk, mode="fill", fill_value=0)
+            wchunks.append(jnp.concatenate(
+                [jnp.sum(Gk, axis=1), jnp.sum(Gk * Gk, axis=1)], axis=-1))
+            bchunks.append(jnp.stack(
+                [jnp.sum(ck, axis=1), jnp.sum(ck * ck, axis=1)], axis=-1))
+        wred = sched_reduce_chunks(jnp.concatenate(wchunks, axis=0),
+                                   sched)                    # (F_tot, 2r)
+        bred = sched_reduce_chunks(jnp.concatenate(bchunks, axis=0),
+                                   sched)                    # (F_tot, 2)
+        s1w, s2w = wred[:, :r], wred[:, r:]
+        s1b, s2b = bred[:, 0], bred[:, 1]
+        t_acc_w, t_w = sched_apply_sums_multi(
+            ops, [(t_acc_w, s2w),
+                  (t_w, -lr * s1w / jnp.sqrt(aw + s2w))], sched)
+        t_acc_b, t_b = sched_apply_sums_multi(
+            ops, [(t_acc_b, s2b),
+                  (t_b, -lr * s1b / jnp.sqrt(ab + s2b))], sched)
+        return t_w, t_b, t_acc_w, t_acc_b
+
+    def step(st: GloveState, shard):
+        r, c, v, m, sr, sc = shard
+        wi, wj, bi, bj = ops.gather_many(
+            [(st.w_i, r), (st.w_j, c), (st.b_i, r), (st.b_j, c)])
+        logv = jnp.log(jnp.where(m, v, 1.0))
+        weight = jnp.where(v < x_max, jnp.power(v / x_max, alpha), 1.0)
+        cost_inner = jnp.sum(wi * wj, axis=1) + bi + bj - logv
+        cost_inner = jnp.clip(cost_inner, -CLIP_VALUE, CLIP_VALUE)
+        cost = jnp.where(m, weight * cost_inner, 0.0)
+        loss = jnp.sum(cost * cost_inner)
+
+        w_i, b_i, acc_w_i, acc_b_i = side(
+            cost, cost[:, None] * wj, sr,
+            st.w_i, st.b_i, st.acc_w_i, st.acc_b_i)
+        w_j, b_j, acc_w_j, acc_b_j = side(
+            cost, cost[:, None] * wi, sc,
+            st.w_j, st.b_j, st.acc_w_j, st.acc_b_j)
+        return GloveState(w_i, w_j, b_i, b_j, acc_w_i, acc_w_j,
+                          acc_b_i, acc_b_j), loss
+
+    state, losses = jax.lax.scan(
+        step, state, (rows, cols, vals, valid, sched_r, sched_c))
+    return state, 0.5 * jnp.sum(losses)
+
+
+@partial(jax.jit, static_argnames=("x_max", "alpha", "lr"),
+         donate_argnums=(0,))
+def _glove_epoch_sched(state: GloveState, rows, cols, vals, valid,
+                       sched_r, sched_c, x_max: float, alpha: float,
+                       lr: float):
+    return _glove_epoch_sched_impl(_DIRECT, state, rows, cols, vals,
+                                   valid, sched_r, sched_c, x_max,
+                                   alpha, lr)
 
 
 def _glove_dense_step_impl(ops, state: GloveState, rows, cols, xgrid,
@@ -213,10 +315,11 @@ def _sharded_glove_fn(mesh: Mesh, which: str, x_max: float, alpha: float,
     ops = ShardedOps(axes)
     st_spec = GloveState(*([P(axes)] * 8))
     rep = P()
-    impl = (_glove_epoch_impl if which == "epoch"
-            else _glove_dense_step_impl)
-    n_data = 4 if which == "epoch" else 3
-    extra = {} if which == "epoch" else {"compute_dtype": compute_dtype}
+    impl = {"epoch": _glove_epoch_impl,
+            "epoch_sched": _glove_epoch_sched_impl,
+            "dense": _glove_dense_step_impl}[which]
+    n_data = {"epoch": 4, "epoch_sched": 6, "dense": 3}[which]
+    extra = {} if which != "dense" else {"compute_dtype": compute_dtype}
 
     def body(state, *data):
         return impl(ops, state, *data, x_max=x_max, alpha=alpha, lr=lr,
@@ -301,8 +404,18 @@ def _head_grids(X: np.ndarray, hot_ids: np.ndarray, dtype,
     return (jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(xt, dtype))
 
 
-def _stack_coo(coo: sp.coo_matrix, batch_size: int, dtype,
-               swap: bool = False):
+def _stack_coo_host(coo: sp.coo_matrix, batch_size: int,
+                    swap: bool = False):
+    """Stack COO triplets into (n_shards, batch_size) shards,
+    STRIDE-INTERLEAVED: triplet ``t`` lands in shard ``t % n_shards``.
+
+    COO input is usually sorted by (row, col), so contiguous slicing
+    would give every shard a narrow row range — minibatches of heavily
+    correlated triplets, and (worse for the scheduled epoch) wildly
+    different per-shard feature-occurrence profiles, which pad the
+    shared-grid schedules to the cross-shard max (a measured 3x slot
+    amplification at bench scale, PERF.md round 5).  Interleaving gives
+    every shard the same zipf profile."""
     n = coo.nnz
     nb = -(-n // batch_size)
     pad = nb * batch_size - n
@@ -312,11 +425,17 @@ def _stack_coo(coo: sp.coo_matrix, batch_size: int, dtype,
     m = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
     if swap:
         r, c = c, r
-    shape = (nb, batch_size)
-    return (jnp.asarray(r.reshape(shape), jnp.int32),
-            jnp.asarray(c.reshape(shape), jnp.int32),
-            jnp.asarray(v.reshape(shape), dtype),
-            jnp.asarray(m.reshape(shape)))
+    stack = lambda a: np.ascontiguousarray(  # noqa: E731
+        a.reshape(batch_size, nb).T)
+    return (stack(r).astype(np.int32), stack(c).astype(np.int32),
+            stack(v), stack(m))
+
+
+def _stack_coo(coo: sp.coo_matrix, batch_size: int, dtype,
+               swap: bool = False):
+    r, c, v, m = _stack_coo_host(coo, batch_size, swap)
+    return (jnp.asarray(r), jnp.asarray(c),
+            jnp.asarray(v, dtype), jnp.asarray(m))
 
 
 @jax.jit
@@ -426,12 +545,18 @@ class GloVe:
             epoch_fn = _sharded_glove_fn(
                 self.mesh, "epoch", self.x_max, self.alpha,
                 self.learning_rate)
+            epoch_sched_fn = _sharded_glove_fn(
+                self.mesh, "epoch_sched", self.x_max, self.alpha,
+                self.learning_rate)
             dense_fn = _sharded_glove_fn(
                 self.mesh, "dense", self.x_max, self.alpha,
                 self.learning_rate, self.compute_dtype)
         else:
             epoch_fn = partial(_glove_epoch, x_max=self.x_max,
                                alpha=self.alpha, lr=self.learning_rate)
+            epoch_sched_fn = partial(
+                _glove_epoch_sched, x_max=self.x_max,
+                alpha=self.alpha, lr=self.learning_rate)
             dense_fn = partial(_glove_dense_step, x_max=self.x_max,
                                alpha=self.alpha, lr=self.learning_rate,
                                compute_dtype=self.compute_dtype)
@@ -457,13 +582,28 @@ class GloVe:
                        if is_triangular else None)
             logger.info("glove head block: %d tokens, %d/%d nnz dense",
                         len(hot_ids), coo.nnz - rem.nnz, coo.nnz)
-        shards = _stack_coo(rem, self.batch_size, self.dtype)
-        shards_t = (_stack_coo(rem, self.batch_size, self.dtype, swap=True)
+        r_np, c_np, v_np, m_np = _stack_coo_host(rem, self.batch_size)
+        shards = (jnp.asarray(r_np), jnp.asarray(c_np),
+                  jnp.asarray(v_np, self.dtype), jnp.asarray(m_np))
+        shards_t = ((shards[1], shards[0], shards[2], shards[3])
                     if is_triangular else None)
+        # scheduled (scatter-free) tail epochs: valid whenever the shard
+        # contents are fixed — i.e. shuffle=False (the device shuffle
+        # permutes the flat nnz axis and would invalidate the schedules)
+        sched_r = sched_c = None
+        if not self.shuffle and rem.nnz > 0:
+            from ..ops.segsum import build_stacked_col_schedule
+            table_rows = (padded_rows(n, self.mesh)
+                          if self.mesh is not None else n)
+            sched_r = build_stacked_col_schedule(r_np, m_np, table_rows)
+            sched_c = build_stacked_col_schedule(c_np, m_np, table_rows)
         if self.mesh is not None:
             shards = replicate_on(self.mesh, shards)
             shards_t = (replicate_on(self.mesh, shards_t)
                         if shards_t is not None else None)
+            if sched_r is not None:
+                sched_r, sched_c = replicate_on(self.mesh,
+                                                (sched_r, sched_c))
             grids = (replicate_on(self.mesh, grids)
                      if grids is not None else None)
             if hot_ids is not None and is_triangular:
@@ -483,13 +623,23 @@ class GloVe:
             if grids is not None:
                 state, ch = dense_fn(state, *grids)
                 cost += float(ch)
-            state, ce = epoch_fn(state, *shards)
+            if sched_r is not None:
+                state, ce = epoch_sched_fn(state, *shards, sched_r,
+                                           sched_c)
+            else:
+                state, ce = epoch_fn(state, *shards)
             cost += float(ce)
             if is_triangular:
                 if grids is not None:
                     state, ch2 = dense_fn(state, *grids_t)
                     cost += float(ch2)
-                state, cost2 = epoch_fn(state, *shards_t)
+                if sched_r is not None:
+                    # swapped pass: roles exchange, so the row-side
+                    # schedule is the forward pass's column-side one
+                    state, cost2 = epoch_sched_fn(state, *shards_t,
+                                                  sched_c, sched_r)
+                else:
+                    state, cost2 = epoch_fn(state, *shards_t)
                 cost += float(cost2)
             if np.isnan(cost):
                 raise FloatingPointError(

@@ -242,11 +242,16 @@ class LinearFlow(MatrixFactorizationRecommender):
             scorer = ap_k if metric_name == "map" else ndcg_k
             score = float(np.nanmean(scorer(idx, x_test)))
             results.append({"lambda": float(lam), "score": score})
-            # NaN scores never win; an unfitted model still records the
-            # first solve so cross-validate-then-predict works
-            if score >= best or (best_y is None and self.components is None):
+            # NaN scores never win (and never poison ``best``: a NaN
+            # fallback records components without updating the bar); an
+            # unfitted model still records the first solve so
+            # cross-validate-then-predict works
+            if not np.isnan(score) and score >= best:
                 best = score
                 best_y = Y          # device-resident; materialized once
+                self.lambda_ = float(lam)
+            elif best_y is None and self.components is None:
+                best_y = Y
                 self.lambda_ = float(lam)
             logger.info("lambda %.4f score %.4f", lam, score)
         if best_y is not None:      # all-NaN scores keep prior components

@@ -76,11 +76,17 @@ def _pad_features(feats: sp.csr_matrix, dtype) -> _Feats:
                   jnp.asarray(mask))
 
 
-def _combine(ops, emb: jax.Array, feats: _Feats, ids: jax.Array
+def _combine(ops, emb: jax.Array, feats: Optional[_Feats], ids: jax.Array
              ) -> jax.Array:
     """Feature-combined embeddings for entities ``ids``: (..., r).
     ``emb`` may be a row-sharded table (gather goes through ``ops``);
-    ``feats`` is replicated metadata."""
+    ``feats`` is replicated metadata.  ``feats=None`` is the IDENTITY
+    feature matrix (the reference default, R/model_RankMF.R:87-88) taken
+    as one direct row gather — the padded-feature indirection costs 3
+    extra gathers per access and measured as the dominant batch cost
+    (PERF.md round 5)."""
+    if feats is None:
+        return ops.gather(emb, ids)
     fi = feats.idx[ids]              # (..., F)
     fv = jnp.where(feats.mask[ids], feats.val[ids], 0.0)
     return jnp.einsum("...f,...fr->...r", fv, ops.gather(emb, fi))
@@ -109,8 +115,16 @@ def build_user_hash(csr: sp.csr_matrix, max_probe: int = 8):
     (S, K) row gather of the whole candidate bucket + a lane compare:
     8x fewer row-fetches for the same answer.  Empty lanes hold -1.
 
+    Bucket selection uses the HIGH bits of the multiplicative hash
+    (Fibonacci hashing, ``(item * MULT) >> (32 - log2(bcap))``): the low
+    bits of ``item * odd_constant`` are a bijection of ``item mod bcap``,
+    so regularly-strided item ids sharing a power-of-2 factor with
+    ``bcap`` (hashed/strided feature ids) would all collide into a few
+    buckets and balloon the table through repeated doubling.
+
     Returns ``(table (TB, max_probe) int32, boff (n_user,) int32,
-    bmask (n_user,) int32)`` with ``bmask = bcap - 1``.
+    bmask (n_user,) int32, bshift (n_user,) int32)`` with ``bmask =
+    bcap - 1`` and ``bshift = min(32 - log2(bcap), 31)``.
     """
     n_user = csr.shape[0]
     nnz = np.diff(csr.indptr).astype(np.int64)
@@ -128,8 +142,10 @@ def build_user_hash(csr: sp.csr_matrix, max_probe: int = 8):
         total = int(boff[-1])
         if total * max_probe >= (1 << 31):
             raise MemoryError("user hash table exceeds int32 indexing")
-        b = (h_all & (bcap[users_all] - 1).astype(np.uint32)).astype(
-            np.int64)
+        log2b = np.round(np.log2(bcap)).astype(np.int64)
+        sh = np.minimum(32 - log2b, 31).astype(np.uint32)
+        b = ((h_all >> sh[users_all])
+             & (bcap[users_all] - 1).astype(np.uint32)).astype(np.int64)
         gb = boff[users_all] + b
         order = np.argsort(gb, kind="stable")
         gbs = gb[order]
@@ -144,17 +160,20 @@ def build_user_hash(csr: sp.csr_matrix, max_probe: int = 8):
         table = np.full((total, max_probe), -1, np.int32)
         table[gbs, lane] = items_all[order].astype(np.int32)
         return (jnp.asarray(table), jnp.asarray(boff[:-1], jnp.int32),
-                jnp.asarray(bcap - 1, jnp.int32))
+                jnp.asarray(bcap - 1, jnp.int32),
+                jnp.asarray(sh, jnp.int32))
 
 
-def _in_hash_set(table, off, capmask, u, queries, max_probe: int):
+def _in_hash_set(table, off, capmask, bshift, u, queries, max_probe: int):
     """Membership of queries[s, k] in user u[s]'s hash set — one (S, K)
     bucket-row gather + lane compare (``max_probe`` is carried in the
     staged table's lane width; the argument is kept for the fallback
-    path's signature)."""
+    path's signature).  Bucket = high hash bits (Fibonacci), matching
+    :func:`build_user_hash`."""
     h = (queries.astype(jnp.uint32) * _HASH_MULT).astype(jnp.uint32)
     m = capmask[u][:, None].astype(jnp.uint32)          # (S, 1)
-    row = off[u][:, None] + (h & m).astype(jnp.int32)   # (S, K)
+    sh = bshift[u][:, None].astype(jnp.uint32)
+    row = off[u][:, None] + ((h >> sh) & m).astype(jnp.int32)   # (S, K)
     got = table[row]                                    # (S, K, lanes)
     return jnp.any(got == queries[..., None], axis=-1)
 
@@ -198,19 +217,24 @@ def _rankmf_batch(ops, W, H, accW, accH, key, flat_idx, indptr, row_nnz,
     lam_in = jnp.asarray(lam_in, W.dtype)
     margin = jnp.asarray(margin, W.dtype)
     n_user = row_nnz.shape[0]
-    k_u, k_p, k_n = jax.random.split(key, 3)
+    # ONE raw-bits draw covers user, positive-offset and all K negative
+    # candidates (three jax.random.randint launches measured ~1.4 ms of a
+    # 17.9 ms batch, PERF.md round 4; ranges << 2^32 so the modulo bias
+    # is negligible)
+    bits = jax.random.bits(key, (S, K + 2), jnp.uint32)
 
-    u = jax.random.randint(k_u, (S,), 0, n_user)
+    u = (bits[:, 0] % jnp.uint32(n_user)).astype(jnp.int32)
     nnz_u = row_nnz[u]
     valid = nnz_u > 0                       # skip users w/o positives
     p1 = indptr[u]
-    pos_off = jax.random.randint(k_p, (S,), 0, jnp.maximum(nnz_u, 1))
+    pos_off = (bits[:, 1] % jnp.maximum(nnz_u, 1).astype(jnp.uint32)
+               ).astype(jnp.int32)
     i = flat_idx[jnp.clip(p1 + pos_off, 0, flat_idx.shape[0] - 1)]
 
     w_u = _combine(ops, W, uf, u)           # (S, r)
     h_i = _combine(ops, H, itf, i)
 
-    j_cand = jax.random.randint(k_n, (S, K), 0, n_item)
+    j_cand = (bits[:, 2:] % jnp.uint32(n_item)).astype(jnp.int32)
     if uhash is not None:
         is_neg = ~_in_hash_set(*uhash, u, j_cand, bs_steps)
     else:
@@ -264,10 +288,20 @@ def _rankmf_batch(ops, W, H, accW, accH, key, flat_idx, indptr, row_nnz,
     r = W.shape[1]
 
     def apply(emb, acc, feats, ids, grad, lam, comb):
-        """Scatter one entity-set's update into feature embeddings."""
-        fi = feats.idx[ids]                            # (S, F)
-        fmask = feats.mask[ids] & (grad != 0).any(1)[:, None]
-        g2 = jnp.sum(grad * grad, axis=1) / r          # (S,) mean sq grad
+        """Scatter one entity-set's update into feature embeddings.
+        ``ids``/``grad``/``comb`` may stack several entity sets along the
+        leading axis (the positive- and negative-item updates run as ONE
+        fused scatter batch); ``lam`` is a scalar or a per-row vector;
+        ``feats=None`` = identity features (one row per entity)."""
+        if feats is None:
+            fi = ids[:, None]                          # (M, 1)
+            fmask = (grad != 0).any(1)[:, None]
+        else:
+            fi = feats.idx[ids]                        # (M, F)
+            fmask = feats.mask[ids] & (grad != 0).any(1)[:, None]
+        g2 = jnp.sum(grad * grad, axis=1) / r          # (M,) mean sq grad
+        if getattr(lam, "ndim", 0) == 1:
+            lam = lam[:, None, None]
         g2f = jnp.where(fmask, g2[:, None], 0.0)
         if optimizer == ADAGRAD:
             acc = ops.scatter_add(acc, fi, g2f)
@@ -296,8 +330,19 @@ def _rankmf_batch(ops, W, H, accW, accH, key, flat_idx, indptr, row_nnz,
 
     W, accW = apply(W, accW, uf, u, grad_u, lam_u, w_u)
     if update_items:
-        H, accH = apply(H, accH, itf, i, grad_ip, lam_ip, h_i)
-        H, accH = apply(H, accH, itf, j, grad_in, lam_in, h_j)
+        # ONE fused apply for the positive + negative item updates (two
+        # sequential scatter/gather/scatter chains measured as the bulk of
+        # the ~4 ms fixed batch cost, PERF.md round 4).  Duplicate ids
+        # across the two sets now see each other's accumulator
+        # contributions — the same accumulator-first semantics duplicates
+        # within one set already had.
+        H, accH = apply(
+            H, accH, itf,
+            jnp.concatenate([i, j]),
+            jnp.concatenate([grad_ip, grad_in]),
+            jnp.concatenate([jnp.full((S,), lam_ip, W.dtype),
+                             jnp.full((S,), lam_in, W.dtype)]),
+            jnp.concatenate([h_i, h_j]))
 
     n_tried = jnp.sum(jnp.where(found, first_k + 1, K))
     return W, H, accW, accH, auc_num, auc_den, jnp.sum(found), n_tried
@@ -469,11 +514,14 @@ class RankMF(MatrixFactorizationRecommender):
         dt_key = (str(jnp.dtype(self.dtype)), self.mesh)
         rep = ((lambda t: replicate_on(self.mesh, t))
                if self.mesh is not None else (lambda t: t))
-        uf = staged_cached(
+        # identity features (the reference default) skip the padded
+        # feature indirection entirely: _combine/apply use the entity id
+        # as the single feature row
+        uf = None if self._identity_user_feats else staged_cached(
             "rankmf_uf", user_features,
             lambda: rep(_pad_features(user_features, self.dtype)),
             extra=dt_key)
-        itf = staged_cached(
+        itf = None if self._identity_item_feats else staged_cached(
             "rankmf_if", item_features,
             lambda: rep(_pad_features(item_features, self.dtype)),
             extra=dt_key)

@@ -248,7 +248,7 @@ class WRMF(MatrixFactorizationRecommender):
             arr, NamedSharding(self.mesh, P()))
 
     def _sweep(self, src, tgt, container, src_cnt, lam, g, cfg, hot=None,
-               hot_rows=None):
+               hot_rows=None, prepared=None):
         from ..parallel.alx import ALXStage
         if isinstance(container, ALXStage):
             from ..parallel.alx import alx_sweep
@@ -271,7 +271,8 @@ class WRMF(MatrixFactorizationRecommender):
                                     jnp.asarray(lam), jnp.asarray(g), cfg,
                                     hot, hot_rows)
         return wrmf_sweep_streamed(src, tgt, buckets, src_cnt, lam, g, cfg,
-                                   hot=hot, hot_rows=hot_rows)
+                                   hot=hot, hot_rows=hot_rows,
+                                   prepared=prepared)
 
     def _resolve_n_hot(self, csr: sp.csr_matrix) -> int:
         """Head size for the dense zipf-head split of one sweep orientation.
@@ -558,14 +559,34 @@ class WRMF(MatrixFactorizationRecommender):
 
     def _transform_buckets(self, ui: BucketedRows, n_users: int) -> jax.Array:
         """User-side half-sweep from zero init with CG swapped for Cholesky
-        (``avoid_cg``, reference R/model_WRMF.R:111-112,412-452)."""
+        (``avoid_cg``, reference R/model_WRMF.R:111-112,412-452).
+
+        The sweep-invariant prepared terms (XtX Gram, rhs_init) are cached
+        across calls against the fitted item factors — the analog of the
+        reference caching XtX after fit (R/model_WRMF.R:347-353)."""
         solver = CHOLESKY if self.solver == CONJUGATE_GRADIENT else self.solver
         cfg = self._cfg(bias_last_in_source=False, solver=solver)
         tgt0 = self._place_factors(
             jnp.zeros((n_users, self._R), dtype=self.dtype))
         g = self.global_bias if self.feedback == "implicit" else 0.0
+        prepared = None
+        if self.mesh is None and sum(
+                b.batch * b.pad_len for b in ui.buckets) > (1 << 22):
+            # only the streamed path consumes it; the whole-sweep jit
+            # (small problems) fuses the Gram for free
+            from ..ops.als import _sweep_prepare, accum_dtype
+            key = (id(self._V), cfg, float(self.lambda_), float(g))
+            if getattr(self, "_prep_cache_key", None) == key:
+                prepared = self._prep_cache
+            else:
+                sdt = accum_dtype(self._V.dtype)
+                prepared = _sweep_prepare(
+                    self._V, jnp.asarray(self.lambda_, sdt),
+                    jnp.asarray(g, sdt), cfg, sdt)
+                self._prep_cache_key = key
+                self._prep_cache = prepared
         U, _ = self._sweep(self._V, tgt0, ui, self._cnt_i,
-                           self.lambda_, g, cfg)
+                           self.lambda_, g, cfg, prepared=prepared)
         return U
 
     def transform(self, x: sp.spmatrix) -> jax.Array:

@@ -519,6 +519,7 @@ def wrmf_sweep_streamed(
     cfg: ALSConfig,
     hot=None,
     hot_rows=None,
+    prepared=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming ALS half-sweep: one small jitted program per bucket shape.
 
@@ -529,6 +530,12 @@ def wrmf_sweep_streamed(
 
     ``hot_rows``: optional per-bucket pre-gathered hot rows
     (sparse/device.py ``hot_bucket_rows``), aligned with ``buckets``.
+
+    ``prepared``: optional cached :func:`_sweep_prepare` output for this
+    exact (src, lam, g, cfg) — the serving path caches the Gram across
+    ``transform()`` calls like the reference caches XtX after fitting
+    (R/model_WRMF.R:347-353); recomputing it here costs an eager dispatch
+    chain per call.
     """
     n_tgt = tgt_old.shape[0]
     R = src.shape[1]
@@ -538,7 +545,9 @@ def wrmf_sweep_streamed(
     g = jnp.asarray(g, sdt)
 
     _check_hot_supported(hot, cfg)
-    src_act, x_biases, XtX, rhs_init = _sweep_prepare(src, lam, g, cfg, sdt)
+    src_act, x_biases, XtX, rhs_init = (
+        prepared if prepared is not None
+        else _sweep_prepare(src, lam, g, cfg, sdt))
     _, tgt_sl = _active_slices(cfg, R)
     old_act = tgt_old[:, tgt_sl]
     d = src_act.shape[1]

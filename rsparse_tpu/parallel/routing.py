@@ -124,3 +124,49 @@ def exchange_body(src_local, req_local, axis, n_dev: int, m: int):
     cache = jax.lax.all_to_all(sliced, axis, split_axis=0,
                                concat_axis=0)               # (n_dev, m, r)
     return cache.reshape(n_dev * m, src_local.shape[1])
+
+
+def wire_cost_report(plan: RoutingPlan, n_dev: int, rank: int,
+                     itemsize: int = 4) -> dict:
+    """Analytic per-sweep collective wire bytes of one routed factor
+    exchange vs the plain data-parallel path's all-gather.
+
+    This is the point of the ALX design (PAPERS.md "ALX: Large Scale
+    Matrix Factorization on TPUs"): the plain mesh path all-gathers the
+    ENTIRE row-sharded source factor table to every device before the
+    per-nnz gathers — wire bytes grow with the table; the routed exchange
+    moves only (max-padded) referenced rows — wire bytes grow with the
+    bucket shards' unique references and are INDEPENDENT of table size.
+
+    Counts only off-device traffic (each device's own diagonal block of
+    an all_to_all / its own shard in an all-gather stays local):
+
+    - ``request_bytes``: int32 request-id all_to_all,
+      ``n_dev * (n_dev-1) * m * 4``.
+    - ``cache_bytes``: factor-row all_to_all,
+      ``n_dev * (n_dev-1) * m * rank * itemsize``.
+    - ``allgather_bytes``: the plain path,
+      ``n_dev * (n_dev-1) * shard_rows * rank * itemsize``.
+
+    ``m = cache_size / n_dev`` is the max unique referenced rows per
+    (device, owner) pair — the all_to_all's static padding.  Totals are
+    summed over all devices per exchange (one exchange per sweep
+    orientation per ALS iteration; the request all_to_all is
+    iteration-invariant and could be hoisted, it is counted here).
+    """
+    m = plan.cache_size // n_dev
+    off = n_dev * (n_dev - 1)
+    request_bytes = off * m * 4
+    cache_bytes = off * m * rank * itemsize
+    allgather_bytes = off * plan.shard_rows * rank * itemsize
+    return {
+        "n_dev": n_dev,
+        "m": m,
+        "shard_rows": plan.shard_rows,
+        "request_bytes": request_bytes,
+        "cache_bytes": cache_bytes,
+        "routed_total_bytes": request_bytes + cache_bytes,
+        "allgather_bytes": allgather_bytes,
+        "routed_over_allgather": (request_bytes + cache_bytes)
+        / max(allgather_bytes, 1),
+    }

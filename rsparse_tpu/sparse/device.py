@@ -106,10 +106,10 @@ def bucket_rows(
     """Build a :class:`BucketedRows` from a scipy sparse matrix.
 
     ``host_out``: optional list; when given, the HOST-side
-    ``(col_idx, nnz)`` numpy arrays of each bucket are appended to it (in
-    bucket order) before device transfer — consumers like the column
-    scheduler (ops/segsum.py) need them without paying a device->host
-    readback.
+    ``(col_idx, nnz, values)`` numpy arrays of each bucket are appended to
+    it (in bucket order) before device transfer — consumers like the
+    column scheduler (ops/segsum.py) need them without paying a
+    device->host readback.
 
     Rows are grouped by padded length from a geometric grid with step
     ``length_ratio`` (2.0 = classic power-of-two); the number of distinct
@@ -187,7 +187,7 @@ def bucket_rows(
                     col_idx = np.zeros((B, L), np.int32)
                     values = np.zeros((B, L), np_val_dtype)
             if host_out is not None:
-                host_out.append((col_idx, nnz_arr))
+                host_out.append((col_idx, nnz_arr, values))
             buckets.append(RowBucket(
                 row_ids=jnp.asarray(row_ids),
                 col_idx=jnp.asarray(col_idx),

@@ -146,7 +146,12 @@ def test_two_process_sharded_sgd(tmp_path):
     rmf = RankMF(rank=6, loss="warp", seed=3, batch_size=32,
                  max_negative_samples=8)
     w_rmf = np.asarray(rmf.partial_fit_transform(inter, n_iter=2))
-    np.testing.assert_allclose(got["w_rmf"], w_rmf, atol=1e-6)
+    # atol 5e-5: the sharded path's scatter/psum aggregation order differs
+    # from the single-device scatter order, and XLA-CPU threaded
+    # reductions are not run-deterministic — observed f32 reorder noise
+    # up to ~2e-5 on ~1e-3 values (flaked once at 1e-6 in a full-suite
+    # run, passed in isolation)
+    np.testing.assert_allclose(got["w_rmf"], w_rmf, atol=5e-5)
 
     yb = (np.asarray(inter[:, :16].sum(axis=1)).ravel() > 0
           ).astype(np.float64)

@@ -304,3 +304,91 @@ def test_glove_bf16_head_converges_like_f32():
         hist[cd] = np.asarray(g.cost_history)
     assert hist["bfloat16"][-1] < hist["bfloat16"][0]
     np.testing.assert_allclose(hist["bfloat16"], hist[None], rtol=0.02)
+
+
+def test_sched_layout_matches_row_major_oracle():
+    """SchedLayout (ops/segsum.py): the feature-grouped layout must
+    reproduce (a) the row layout exactly through sched_to_rows and
+    (b) scatter-add table sums through sched_apply_sums, in both dense
+    and sparse apply modes."""
+    import jax.numpy as jnp
+
+    from rsparse_tpu.ops.segsum import (build_sched_layout,
+                                        sched_apply_sums,
+                                        sched_reduce_chunks, sched_to_rows)
+    from rsparse_tpu.parallel.sgd_sharded import DirectOps
+
+    rng = np.random.default_rng(5)
+    ops = DirectOps()
+    B, L, F_dense, F_sparse = 64, 24, 300, 1_000_000
+    nnz_rows = rng.integers(0, L + 1, B).astype(np.int32)
+    cols = rng.integers(0, F_dense, (B, L)).astype(np.int32)
+    # skew: make one feature very hot so the chunking level is exercised
+    cols[rng.random((B, L)) < 0.3] = 7
+    vals = rng.standard_normal((B, L)).astype(np.float32)
+    valid = np.arange(L)[None, :] < nnz_rows[:, None]
+    vals[~valid] = 0.0
+
+    for F in (F_dense, F_sparse):
+        c = cols if F == F_dense else cols * (F // F_dense)
+        lay = build_sched_layout(c, vals, nnz_rows, F, chunk_len=16)
+        assert (lay.inv is None) == (F == F_sparse)
+        # (a) round-trip: scheduled vals permuted back == row-layout vals
+        back = sched_to_rows(list(lay.vals), lay, B, L)
+        np.testing.assert_array_equal(np.asarray(back), vals)
+        # (b) per-feature sums (chunk partials -> level-2 reduce) ==
+        # scatter-add over valid positions
+        chunk_sums = jnp.concatenate(
+            [jnp.sum(v, axis=1) for v in lay.vals])
+        got = sched_apply_sums(ops, jnp.zeros((F,), jnp.float32),
+                               sched_reduce_chunks(chunk_sums, lay), lay)
+        want = np.zeros(F, np.float32)
+        np.add.at(want, c[valid], vals[valid])
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+        # (c) rows/pos agree: vals == row-layout values at pos
+        vflat = np.concatenate([vals.reshape(-1), [0.0]]).astype(np.float32)
+        for pk, vk in zip(lay.pos, lay.vals):
+            np.testing.assert_array_equal(vflat[np.asarray(pk)],
+                                          np.asarray(vk))
+
+
+def test_glove_sched_epoch_matches_scatter_epoch():
+    """The scheduled GloVe tail epoch must equal the scatter-path epoch
+    on every state table and the loss (same accumulator-first AdaGrad
+    math, different summation order)."""
+    import jax.numpy as jnp
+
+    from rsparse_tpu.models.glove import (GloveState, _glove_epoch,
+                                          _glove_epoch_sched,
+                                          _stack_coo_host)
+    from rsparse_tpu.ops.segsum import build_stacked_col_schedule
+
+    rng = np.random.RandomState(0)
+    n, r = 200, 8
+    m = sp.random(n, n, density=0.08, random_state=rng)
+    m.data = np.abs(m.data) * 10 + 1
+    coo = sp.coo_matrix(m)
+    r_np, c_np, v_np, m_np = _stack_coo_host(coo, 512)
+    shards = (jnp.asarray(r_np), jnp.asarray(c_np),
+              jnp.asarray(v_np, jnp.float64), jnp.asarray(m_np))
+    sched_r = build_stacked_col_schedule(r_np, m_np, n)
+    sched_c = build_stacked_col_schedule(c_np, m_np, n)
+
+    def init():
+        rr = np.random.default_rng(1)
+        return GloveState(
+            w_i=jnp.asarray(rr.uniform(-0.5, 0.5, (n, r))),
+            w_j=jnp.asarray(rr.uniform(-0.5, 0.5, (n, r))),
+            b_i=jnp.asarray(rr.uniform(-0.5, 0.5, (n,))),
+            b_j=jnp.asarray(rr.uniform(-0.5, 0.5, (n,))),
+            acc_w_i=jnp.ones((n, r)), acc_w_j=jnp.ones((n, r)),
+            acc_b_i=jnp.ones((n,)), acc_b_j=jnp.ones((n,)))
+
+    st1, l1 = _glove_epoch(init(), *shards,
+                           x_max=10.0, alpha=0.75, lr=0.05)
+    st2, l2 = _glove_epoch_sched(init(), *shards, sched_r, sched_c,
+                                 x_max=10.0, alpha=0.75, lr=0.05)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-10)
+    for a, b, name in zip(st1, st2, GloveState._fields):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-10, err_msg=name)

@@ -202,7 +202,7 @@ def test_ftrl_fm_mesh_parity_sparse_schedule(mesh):
     dense-mode result on the equivalent compacted problem."""
     from rsparse_tpu.models.fm import FactorizationMachine
     from rsparse_tpu.models.ftrl import FTRL
-    from rsparse_tpu.ops.segsum import staged_blocks_with_schedules
+    from rsparse_tpu.ops.segsum import staged_blocks_with_layouts
 
     import jax.numpy as jnp
 
@@ -213,9 +213,9 @@ def test_ftrl_fm_mesh_parity_sparse_schedule(mesh):
     coo = X_small.tocoo()
     X = sp.csr_matrix((coo.data, (coo.row, coo.col * (F // 60))),
                       shape=(400, F))
-    _, scheds, _ = staged_blocks_with_schedules(X, jnp.float32, F, None,
-                                                "paritycheck")
-    assert all(s.inv is None for s in scheds), "expected sparse mode"
+    _, layouts = staged_blocks_with_layouts(X, jnp.float32, F, None,
+                                            "paritycheck")
+    assert all(lay.inv is None for lay in layouts), "expected sparse mode"
     y = rng.integers(0, 2, 400).astype(float)
 
     m1 = FTRL(learning_rate=0.1, lambda_=0.01, seed=7)

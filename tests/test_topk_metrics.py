@@ -279,3 +279,110 @@ def test_get_similar_items_device_path_oracle():
         np.testing.assert_allclose(got.scores, ref.scores, rtol=1e-5,
                                    atol=1e-6)
         assert item not in got.indices
+
+
+def _ap_k_loop(predictions, actual):
+    """Per-user loop replica (the pre-round-5 implementation / reference
+    R/metrics.R:45-56) used as the oracle for the vectorized ap_k."""
+    y = sp.csr_matrix(actual)
+    n_u, k = predictions.shape
+    res = np.empty(n_u)
+    for u in range(n_u):
+        idx = y.indices[y.indptr[u]:y.indptr[u + 1]]
+        kk = min(k, len(idx))
+        if kk == 0:
+            res[u] = np.nan
+            continue
+        hits = np.isin(predictions[u, :kk], idx)
+        res[u] = np.mean(np.cumsum(hits) / np.arange(1, kk + 1))
+    return res
+
+
+def _ndcg_k_loop(predictions, actual):
+    """Per-user loop replica (reference R/metrics.R:108-126)."""
+    y = sp.csr_matrix(actual)
+    n_u, k = predictions.shape
+    res = np.empty(n_u)
+    for u in range(n_u):
+        p1, p2 = y.indptr[u], y.indptr[u + 1]
+        idx, rel = y.indices[p1:p2], y.data[p1:p2]
+        kk = min(k, len(idx))
+        if len(idx) == 0:
+            res[u] = 0.0
+            continue
+        pos = {j: i for i, j in enumerate(idx)}
+        dcg = 0.0
+        for i in range(kk):
+            j = pos.get(int(predictions[u, i]))
+            if j is not None:
+                dcg += rel[j] / np.log2(i + 2)
+        top = np.sort(rel)[::-1][:kk]
+        idcg = np.sum(top / np.log2(np.arange(2, len(top) + 2)))
+        res[u] = dcg / idcg if idcg > 0 else 0.0
+    return res
+
+
+def test_vectorized_metrics_equal_loop_oracle():
+    from rsparse_tpu.utils.metrics import ap_k, ndcg_k
+    rng = np.random.default_rng(0)
+    n_u, n_i, k = 300, 150, 10
+    actual = sp.random(n_u, n_i, density=0.04, random_state=1,
+                       format="csr")
+    actual.data = rng.uniform(0.5, 5.0, actual.nnz)
+    # ensure some empty rows and some duplicate relevances
+    actual = sp.vstack([actual, sp.csr_matrix((5, n_i))]).tocsr()
+    preds = rng.integers(0, n_i, (actual.shape[0], k))
+    np.testing.assert_allclose(ap_k(preds, actual),
+                               _ap_k_loop(preds, actual), atol=1e-12)
+    np.testing.assert_allclose(ndcg_k(preds, actual),
+                               _ndcg_k_loop(preds, actual), atol=1e-12)
+
+
+def test_metrics_accept_topk_and_character_ids():
+    """Reference parity: character prediction matrices carry integer
+    indices (R/metrics.R:39-43); here the TopK result is the carrier, and
+    a bare id matrix maps through item_ids=."""
+    from rsparse_tpu.models.base import TopK
+    from rsparse_tpu.utils.metrics import ap_k, ndcg_k
+    rng = np.random.default_rng(3)
+    n_u, n_i, k = 40, 25, 5
+    actual = sp.random(n_u, n_i, density=0.2, random_state=2,
+                       format="csr")
+    actual.data = np.abs(actual.data) + 0.5
+    idx = rng.integers(0, n_i, (n_u, k))
+    item_ids = np.array([f"item_{i}" for i in range(n_i)])
+    ids = item_ids[idx]
+    topk = TopK(indices=idx, scores=np.zeros_like(idx, float),
+                ids=ids, user_ids=None)
+    want_ap = ap_k(idx, actual)
+    want_nd = ndcg_k(idx, actual)
+    np.testing.assert_allclose(ap_k(topk, actual), want_ap, atol=1e-12)
+    np.testing.assert_allclose(ndcg_k(topk, actual), want_nd, atol=1e-12)
+    np.testing.assert_allclose(ap_k(ids, actual, item_ids=item_ids),
+                               want_ap, atol=1e-12)
+    np.testing.assert_allclose(ndcg_k(ids, actual, item_ids=item_ids),
+                               want_nd, atol=1e-12)
+    import pytest
+    with pytest.raises(ValueError, match="item_ids"):
+        ap_k(ids, actual)
+
+
+def test_metrics_scale_138k_users():
+    """ML-20M-scale eval (VERDICT r4 weak #6): 138k users x k=10 in well
+    under the per-user-loop minutes; assert a loose wall bound so CI
+    catches a regression to per-user Python."""
+    import time
+    from rsparse_tpu.utils.metrics import ap_k, ndcg_k
+    rng = np.random.default_rng(1)
+    n_u, n_i, k = 138_000, 27_000, 10
+    actual = sp.random(n_u, n_i, density=12 / n_i, random_state=4,
+                       format="csr")
+    actual.data = rng.uniform(0.5, 5.0, actual.nnz)
+    preds = rng.integers(0, n_i, (n_u, k))
+    t0 = time.time()
+    a = ap_k(preds, actual)
+    d = ndcg_k(preds, actual)
+    dt = time.time() - t0
+    assert np.isfinite(a[np.diff(actual.indptr) > 0]).all()
+    assert np.isfinite(d).all()
+    assert dt < 10.0, dt
