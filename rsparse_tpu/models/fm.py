@@ -257,8 +257,9 @@ class FactorizationMachine:
         elif n_features != self.n_features:
             raise ValueError("feature count mismatch with fitted model")
 
-    def _run(self, x, y=None, weights=None, do_update=False,
-             materialize=True):
+    def _stage(self, x, y, weights, do_update: bool):
+        """One-time content-cached staging per fit() (see FTRL._stage —
+        per-pass fingerprint scans cost ~25 ms at bench scale)."""
         csr = sp.csr_matrix(x)
         if np.isnan(csr.data).any():
             raise ValueError("NA's in input matrix are not allowed")
@@ -290,13 +291,16 @@ class FactorizationMachine:
         labels = staged_label_gathers("fm_y", csr, y, weights, br,
                                       self.dtype, self.mesh,
                                       zero_pad_weight=True)
+        return n_rows, br, layouts, labels
+
+    def _run_staged(self, staged, do_update=False, materialize=True):
+        n_rows, br, layouts, labels = staged
         if self.mesh is not None:
             step = _sharded_fm_fn(self.mesh, self.family_code,
                                   self.intercept, do_update)
         else:
             step = partial(_fm_block, family=self.family_code,
                            intercept=self.intercept, do_update=do_update)
-        y_hat = np.empty(n_rows, np.float64)
         outs = []  # defer device->host reads so dispatches pipeline
         for b, lay, (y_b, w_b) in zip(br.buckets, layouts, labels):
             (self.w0, self.acc_w0, self.w, self.v, self.acc_w, self.acc_v,
@@ -310,11 +314,18 @@ class FactorizationMachine:
             # mid-fit pass: predictions discarded by the caller; skip the
             # device->host transfer (30 MB/s on the bench relay)
             return None
+        y_hat = np.empty(n_rows, np.float64)
         for row_ids, yh in outs:
             rows = np.asarray(row_ids)
             keep = rows < n_rows
             y_hat[rows[keep]] = np.asarray(yh, np.float64)[keep]
         return y_hat
+
+    def _run(self, x, y=None, weights=None, do_update=False,
+             materialize=True):
+        return self._run_staged(self._stage(x, y, weights, do_update),
+                                do_update=do_update,
+                                materialize=materialize)
 
     def partial_fit(self, x, y, weights=None) -> np.ndarray:
         return self._run(x, y, weights, do_update=True)
@@ -322,10 +333,11 @@ class FactorizationMachine:
     def fit(self, x, y, weights=None, n_iter: int = 1) -> np.ndarray:
         if n_iter < 1:
             raise ValueError("n_iter must be >= 1")
+        staged = self._stage(x, y, weights, do_update=True)
         for i in range(n_iter):
             # only the final pass's predictions are materialized
-            out = self._run(x, y, weights, do_update=True,
-                            materialize=(i == n_iter - 1))
+            out = self._run_staged(staged, do_update=True,
+                                   materialize=(i == n_iter - 1))
         return out
 
     def predict(self, x) -> np.ndarray:

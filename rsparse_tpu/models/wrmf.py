@@ -429,53 +429,76 @@ class WRMF(MatrixFactorizationRecommender):
         def chain_full():
             return self._bucketize(csr, incl)
 
+        def build_stages():
+            if self.routing is None and not self._multihost:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(3) as ex:
+                    f_ui = ex.submit(chain_ui)
+                    f_iu = ex.submit(chain_iu)
+                    f_full = ex.submit(chain_full)
+                    hot_ui, cold_ui, ui = f_ui.result()
+                    csr_t, n_hot_users, hot_iu, cold_iu, iu = f_iu.result()
+                    ui_full = f_full.result()
+            else:
+                hot_ui, cold_ui, ui = chain_ui()
+                csr_t, n_hot_users, hot_iu, cold_iu, iu = chain_iu()
+                ui_full = chain_full()
+            if n_hot_items or n_hot_users:
+                logger.info(
+                    "zipf-head split: %d hot items (%.0f%% nnz), "
+                    "%d hot users (%.0f%% nnz)", n_hot_items,
+                    100 * (1 - cold_ui.nnz / max(csr.nnz, 1)),
+                    n_hot_users, 100 * (1 - cold_iu.nnz / max(csr.nnz, 1)))
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_hot
+                hot_ui = shard_hot(hot_ui, self.mesh)
+                hot_iu = shard_hot(hot_iu, self.mesh)
+            # pre-gather the hot rows into bucket order once: bucket order
+            # is fixed for the whole fit, and the per-sweep W[ids] random
+            # gather costs ~15% of the bench sweep (sparse/device.py
+            # hot_bucket_rows) (works under a mesh too: W is
+            # "model"-col-sharded, bucket row ids "data"-sharded, so the
+            # staged rows come out (data, model)-sharded and the per-sweep
+            # W[ids] random gather disappears on both paths)
+            iu_hot_rows = ui_hot_rows = None
+            if hot_iu is not None:
+                iu_hot_rows = hot_bucket_rows(hot_iu, iu.buckets, n_items)
+                hot_iu = hot_iu._replace(W=hot_iu.W[:1])   # free the big W
+            if hot_ui is not None:
+                ui_hot_rows = hot_bucket_rows(hot_ui, ui.buckets, n_users)
+                hot_ui = hot_ui._replace(W=hot_ui.W[:1])
+            if ui is None:
+                ui = ui_full
+            cnt_u = jnp.asarray(np.diff(csr.indptr), jnp.float32)
+            # per-item counts come free from the transposed CSR (row
+            # counts of csr_t == column counts of csr)
+            cnt_i = jnp.asarray(np.diff(csr_t.indptr), jnp.float32)
+            if self._multihost:
+                from ..parallel.multihost import replicate
+                cnt_u = replicate(cnt_u, self.mesh)
+                cnt_i = replicate(cnt_i, self.mesh)
+            return (hot_ui, hot_iu, ui, iu, ui_full, iu_hot_rows,
+                    ui_hot_rows, cnt_u, cnt_i)
+
         if self.routing is None and not self._multihost:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(3) as ex:
-                f_ui = ex.submit(chain_ui)
-                f_iu = ex.submit(chain_iu)
-                f_full = ex.submit(chain_full)
-                hot_ui, cold_ui, ui = f_ui.result()
-                csr_t, n_hot_users, hot_iu, cold_iu, iu = f_iu.result()
-                ui_full = f_full.result()
+            # warm re-fits on the same matrix skip the whole staging
+            # pipeline (hot/cold splits + bucket builds + transfers +
+            # hot-row pre-gathers: ~4 s of the 6.3 s warm e2e fit at bench
+            # scale).  Multihost/ALX staging issues collectives whose
+            # order must match across processes, and per-process LRU state
+            # may differ — keep those uncached.
+            from ..sparse.device import staged_cached
+            (hot_ui, hot_iu, ui, iu, ui_full, iu_hot_rows, ui_hot_rows,
+             self._cnt_u, self._cnt_i) = staged_cached(
+                "wrmf_stages", csr, build_stages,
+                extra=(str(jnp.dtype(self.dtype)), str(w_dt),
+                       with_presence, n_hot_items, incl, self._row_align,
+                       self.mesh, "stages_v1"))
         else:
-            hot_ui, cold_ui, ui = chain_ui()
-            csr_t, n_hot_users, hot_iu, cold_iu, iu = chain_iu()
-            ui_full = chain_full()
-        if n_hot_items or n_hot_users:
-            logger.info("zipf-head split: %d hot items (%.0f%% nnz), "
-                        "%d hot users (%.0f%% nnz)",
-                        n_hot_items, 100 * (1 - cold_ui.nnz / max(csr.nnz, 1)),
-                        n_hot_users, 100 * (1 - cold_iu.nnz / max(csr.nnz, 1)))
-        if self.mesh is not None:
-            from ..parallel.mesh import shard_hot
-            hot_ui = shard_hot(hot_ui, self.mesh)
-            hot_iu = shard_hot(hot_iu, self.mesh)
-        # pre-gather the hot rows into bucket order once: bucket order is
-        # fixed for the whole fit, and the per-sweep W[ids] random gather
-        # costs ~15% of the bench sweep (sparse/device.py hot_bucket_rows)
-        # (works under a mesh too: W is "model"-col-sharded, bucket row ids
-        # "data"-sharded, so the staged rows come out (data, model)-sharded
-        # and the per-sweep W[ids] random gather disappears on both paths)
-        iu_hot_rows = ui_hot_rows = None
-        if hot_iu is not None:
-            iu_hot_rows = hot_bucket_rows(hot_iu, iu.buckets, n_items)
-            hot_iu = hot_iu._replace(W=hot_iu.W[:1])       # free the big W
-        if hot_ui is not None:
-            ui_hot_rows = hot_bucket_rows(hot_ui, ui.buckets, n_users)
-            hot_ui = hot_ui._replace(W=hot_ui.W[:1])
-        if ui is None:
-            ui = ui_full
+            (hot_ui, hot_iu, ui, iu, ui_full, iu_hot_rows, ui_hot_rows,
+             self._cnt_u, self._cnt_i) = build_stages()
         self._train_ui = ui_full
         nnz = max(csr.nnz, 1)
-        self._cnt_u = jnp.asarray(np.diff(csr.indptr), jnp.float32)
-        # per-item counts come free from the transposed CSR (row counts of
-        # csr_t == column counts of csr) — no separate tocsc() transpose
-        self._cnt_i = jnp.asarray(np.diff(csr_t.indptr), jnp.float32)
-        if self._multihost:
-            from ..parallel.multihost import replicate
-            self._cnt_u = replicate(self._cnt_u, self.mesh)
-            self._cnt_i = replicate(self._cnt_i, self.mesh)
 
         # factor init (R/model_WRMF.R:203-255)
         U = self._rand(n_users)
