@@ -36,9 +36,10 @@ CLIP_VALUE = 100.0
 _DIRECT = DirectOps()
 
 
-def _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v, values,
+def _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v, col_idx, values,
                    y, sample_w, lr_w, lr_v, lam_w, lam_v, layout,
-                   family: int, intercept: bool, do_update: bool):
+                   family: int, intercept: bool, do_update: bool,
+                   rowmajor_pred: bool):
     """One padded row-block of FM predict (+optional update), computed in
     the feature-grouped scheduled layout (ops/segsum.py SchedLayout).
 
@@ -73,31 +74,49 @@ def _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v, values,
 
     # chunk-level (w, v) reads for the per-position math; level-2
     # accumulator reads for the per-feature factored AdaGrad step
-    pairs = [(w, f) for f in layout.feats_c]
-    pairs += [(v, f) for f in layout.feats_c]
+    need_chunk = do_update or not rowmajor_pred
+    pairs = []
+    if need_chunk:
+        pairs += [(w, f) for f in layout.feats_c]
+        pairs += [(v, f) for f in layout.feats_c]
     if do_update:
         pairs += [(acc_w, f) for f in layout.feats]
         pairs += [(acc_v, f) for f in layout.feats]
-    flat = ops.gather_many(pairs)
+    flat = ops.gather_many(pairs) if pairs else ()
     n2 = len(layout.feats)
-    wf, vf = flat[:nb], flat[nb:2 * nb]
+    if need_chunk:
+        wf, vf = flat[:nb], flat[nb:2 * nb]
     if do_update:
         awf = jnp.concatenate(flat[2 * nb:2 * nb + n2], axis=0)
         avf = jnp.concatenate(flat[2 * nb + n2:], axis=0)
 
-    # packed per-position prediction contributions, built per feature:
-    # [:, :, 0] = w_f x, [:, :, 1:r+1] = v_f x, [:, :, r+1:] = (v_f x)^2
-    packs = []
-    for k in range(nb):
-        xk = layout.vals[k]                              # (Bk, Lk)
-        cvk = vf[k][:, None, :] * xk[..., None]          # (Bk, Lk, r)
-        packs.append(jnp.concatenate(
-            [(wf[k][:, None] * xk)[..., None], cvk, cvk * cvk], axis=-1))
-    c_row = sched_to_rows(packs, layout, B, L)           # (B, L, 2r+1)
-    s1 = jnp.sum(c_row[..., 1:r + 1], axis=1)            # (B, r)
-    raw = (w0 + jnp.sum(c_row[..., 0], axis=1)
-           + 0.5 * (jnp.sum(s1 * s1, axis=1)
-                    - jnp.sum(c_row[..., r + 1:], axis=(1, 2))))
+    if rowmajor_pred:
+        # small tables are HOT gather operands (291-426M row-fetch/s vs
+        # ~64M/s cold, PERF.md): two direct table gathers beat the
+        # sched->row permute whose packed flat operand is
+        # minibatch-sized and cold (measured 92 of a 138 ms pass)
+        wg, vg = ops.gather_many([(w, col_idx), (v, col_idx)])
+        vx = vg * values[..., None]                      # (B, L, r)
+        s1 = jnp.sum(vx, axis=1)                         # (B, r)
+        raw = (w0 + jnp.sum(wg * values, axis=1)
+               + 0.5 * (jnp.sum(s1 * s1, axis=1)
+                        - jnp.sum(vx * vx, axis=(1, 2))))
+    else:
+        # packed per-position prediction contributions, built per
+        # feature: [..., 0] = w_f x, [..., 1:r+1] = v_f x,
+        # [..., r+1:] = (v_f x)^2
+        packs = []
+        for k in range(nb):
+            xk = layout.vals[k]                          # (Ck, Lk)
+            cvk = vf[k][:, None, :] * xk[..., None]      # (Ck, Lk, r)
+            packs.append(jnp.concatenate(
+                [(wf[k][:, None] * xk)[..., None], cvk, cvk * cvk],
+                axis=-1))
+        c_row = sched_to_rows(packs, layout, B, L)       # (B, L, 2r+1)
+        s1 = jnp.sum(c_row[..., 1:r + 1], axis=1)        # (B, r)
+        raw = (w0 + jnp.sum(c_row[..., 0], axis=1)
+               + 0.5 * (jnp.sum(s1 * s1, axis=1)
+                        - jnp.sum(c_row[..., r + 1:], axis=(1, 2))))
     y_hat = jax.nn.sigmoid(raw) if family == 1 else raw
 
     if not do_update:
@@ -150,23 +169,25 @@ def _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v, values,
     return w0, acc_w0, w, v, acc_w, acc_v, y_hat
 
 
-@partial(jax.jit, static_argnames=("family", "intercept", "do_update"),
+@partial(jax.jit, static_argnames=("family", "intercept", "do_update",
+                                   "rowmajor_pred"),
          donate_argnums=(0, 1, 2, 3, 4, 5))
-def _fm_block(w0, acc_w0, w, v, acc_w, acc_v, values, y,
+def _fm_block(w0, acc_w0, w, v, acc_w, acc_v, col_idx, values, y,
               sample_w, lr_w, lr_v, lam_w, lam_v, layout, *,
-              family: int, intercept: bool, do_update: bool):
+              family: int, intercept: bool, do_update: bool,
+              rowmajor_pred: bool):
     return _fm_block_impl(_DIRECT, w0, acc_w0, w, v, acc_w, acc_v,
-                          values, y, sample_w, lr_w, lr_v,
+                          col_idx, values, y, sample_w, lr_w, lr_v,
                           lam_w, lam_v, layout, family, intercept,
-                          do_update)
+                          do_update, rowmajor_pred)
 
 
 _SHARDED_FNS: dict = {}
 
 
 def _sharded_fm_fn(mesh: Mesh, family: int, intercept: bool,
-                   do_update: bool):
-    key = (mesh, family, intercept, do_update)
+                   do_update: bool, rowmajor_pred: bool):
+    key = (mesh, family, intercept, do_update, rowmajor_pred)
     fn = _SHARDED_FNS.get(key)
     if fn is not None:
         return fn
@@ -174,16 +195,16 @@ def _sharded_fm_fn(mesh: Mesh, family: int, intercept: bool,
     ops = ShardedOps(axes)
     tab, rep = P(axes), P()
 
-    def body(w0, acc_w0, w, v, acc_w, acc_v, values, y,
+    def body(w0, acc_w0, w, v, acc_w, acc_v, col_idx, values, y,
              sample_w, lr_w, lr_v, lam_w, lam_v, layout):
         return _fm_block_impl(ops, w0, acc_w0, w, v, acc_w, acc_v,
-                              values, y, sample_w, lr_w,
+                              col_idx, values, y, sample_w, lr_w,
                               lr_v, lam_w, lam_v, layout, family,
-                              intercept, do_update)
+                              intercept, do_update, rowmajor_pred)
 
     fn = jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(rep, rep, tab, tab, tab, tab) + (rep,) * 8,
+        in_specs=(rep, rep, tab, tab, tab, tab) + (rep,) * 9,
         out_specs=(rep, rep, tab, tab, tab, tab, rep), check_vma=False),
         donate_argnums=(0, 1, 2, 3, 4, 5))
     _SHARDED_FNS[key] = fn
@@ -295,18 +316,23 @@ class FactorizationMachine:
 
     def _run_staged(self, staged, do_update=False, materialize=True):
         n_rows, br, layouts, labels = staged
+        # row-major prediction gathers beat the sched->row permute while
+        # the (w, v) tables are hot gather operands (PERF.md round 5)
+        rowmajor = ((self.n_features + 1) * (self.rank + 1) * 4
+                    < (1 << 25))
         if self.mesh is not None:
             step = _sharded_fm_fn(self.mesh, self.family_code,
-                                  self.intercept, do_update)
+                                  self.intercept, do_update, rowmajor)
         else:
             step = partial(_fm_block, family=self.family_code,
-                           intercept=self.intercept, do_update=do_update)
+                           intercept=self.intercept, do_update=do_update,
+                           rowmajor_pred=rowmajor)
         outs = []  # defer device->host reads so dispatches pipeline
         for b, lay, (y_b, w_b) in zip(br.buckets, layouts, labels):
             (self.w0, self.acc_w0, self.w, self.v, self.acc_w, self.acc_v,
              yh) = step(
                 self.w0, self.acc_w0, self.w, self.v, self.acc_w,
-                self.acc_v, b.values, y_b, w_b,
+                self.acc_v, b.col_idx, b.values, y_b, w_b,
                 self.learning_rate_w, self.learning_rate_v,
                 self.lambda_w, self.lambda_v, lay)
             outs.append((b.row_ids, yh))

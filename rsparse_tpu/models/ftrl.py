@@ -61,9 +61,10 @@ def _lazy_weights(z, n, lr, decay, l1, l2):
     return jnp.where(active, w, 0.0)
 
 
-def _ftrl_block_impl(ops, z, n, values, y, sample_w, dropout_key,
+def _ftrl_block_impl(ops, z, n, col_idx, values, y, sample_w, dropout_key,
                      lr, decay, l1, l2, dropout, layout, family: int,
-                     do_update: bool, use_dropout: bool):
+                     do_update: bool, use_dropout: bool,
+                     rowmajor_pred: bool):
     """One padded row-block update (or pure prediction), computed in the
     feature-grouped scheduled layout (ops/segsum.py SchedLayout).
 
@@ -108,6 +109,7 @@ def _ftrl_block_impl(ops, z, n, values, y, sample_w, dropout_key,
     wf = [_lazy_weights(zf[k], nf[k], lr, decay, l1, l2)
           for k in range(nb)]
 
+    vrow = None
     if do_update and use_dropout:
         keep = jax.random.uniform(dropout_key, values.shape) > dropout
         vrow = jnp.where(keep, values * (1.0 / (1.0 - dropout)), 0.0)
@@ -117,9 +119,21 @@ def _ftrl_block_impl(ops, z, n, values, y, sample_w, dropout_key,
     else:
         vals_k = list(layout.vals)
 
-    c_row = sched_to_rows([wf[k][:, None] * vals_k[k] for k in range(nb)],
-                          layout, B, L)
-    y_hat = _link(jnp.sum(c_row, axis=1), family)
+    if rowmajor_pred:
+        # small tables are HOT gather operands (PERF.md round-4 matrix:
+        # 291-426M row-fetch/s vs ~64M/s against large/cold ones), so one
+        # direct w[col_idx] gather beats the sched->row permute whose flat
+        # operand is minibatch-sized.  w_dense is one O(F) elementwise
+        # pass — cheap exactly when the table is small.
+        w_dense = _lazy_weights(z, n, lr, decay, l1, l2)
+        wg = ops.gather(w_dense, col_idx)              # (B, L)
+        vr = vrow if vrow is not None else values
+        y_hat = _link(jnp.sum(wg * vr, axis=1), family)
+    else:
+        c_row = sched_to_rows(
+            [wf[k][:, None] * vals_k[k] for k in range(nb)],
+            layout, B, L)
+        y_hat = _link(jnp.sum(c_row, axis=1), family)
 
     if not do_update:
         return z, n, y_hat
@@ -141,23 +155,24 @@ def _ftrl_block_impl(ops, z, n, values, y, sample_w, dropout_key,
     return z, n, y_hat
 
 
-@partial(jax.jit, static_argnames=("family", "do_update", "use_dropout"),
+@partial(jax.jit, static_argnames=("family", "do_update", "use_dropout",
+                                   "rowmajor_pred"),
          donate_argnums=(0, 1))
-def _ftrl_block(z, n, values, y, sample_w, dropout_key,
+def _ftrl_block(z, n, col_idx, values, y, sample_w, dropout_key,
                 lr, decay, l1, l2, dropout, layout, *, family: int,
-                do_update: bool, use_dropout: bool):
-    return _ftrl_block_impl(_DIRECT, z, n, values, y,
+                do_update: bool, use_dropout: bool, rowmajor_pred: bool):
+    return _ftrl_block_impl(_DIRECT, z, n, col_idx, values, y,
                             sample_w, dropout_key, lr, decay, l1, l2,
                             dropout, layout, family, do_update,
-                            use_dropout)
+                            use_dropout, rowmajor_pred)
 
 
 _SHARDED_FNS: dict = {}
 
 
 def _sharded_ftrl_fn(mesh: Mesh, family: int, do_update: bool,
-                     use_dropout: bool):
-    key = (mesh, family, do_update, use_dropout)
+                     use_dropout: bool, rowmajor_pred: bool):
+    key = (mesh, family, do_update, use_dropout, rowmajor_pred)
     fn = _SHARDED_FNS.get(key)
     if fn is not None:
         return fn
@@ -165,15 +180,15 @@ def _sharded_ftrl_fn(mesh: Mesh, family: int, do_update: bool,
     ops = ShardedOps(axes)
     tab, rep = P(axes), P()
 
-    def body(z, n, values, y, sample_w, dropout_key,
+    def body(z, n, col_idx, values, y, sample_w, dropout_key,
              lr, decay, l1, l2, dropout, layout):
-        return _ftrl_block_impl(ops, z, n, values, y,
+        return _ftrl_block_impl(ops, z, n, col_idx, values, y,
                                 sample_w, dropout_key, lr, decay, l1, l2,
                                 dropout, layout, family, do_update,
-                                use_dropout)
+                                use_dropout, rowmajor_pred)
 
     fn = jax.jit(jax.shard_map(
-        body, mesh=mesh, in_specs=(tab, tab) + (rep,) * 10,
+        body, mesh=mesh, in_specs=(tab, tab) + (rep,) * 11,
         out_specs=(tab, tab, rep), check_vma=False),
         donate_argnums=(0, 1))
     _SHARDED_FNS[key] = fn
@@ -272,12 +287,16 @@ class FTRL:
     def _run_staged(self, staged, do_update=False, materialize=True):
         n_rows, br, layouts, labels = staged
         use_dropout = do_update and self.dropout > 0
+        # row-major prediction gathers beat the sched->row permute while
+        # the (z, n) tables are hot gather operands (PERF.md round 5)
+        rowmajor = (self.n_features + 1) * 8 < (1 << 25)
         if self.mesh is not None:
             step = _sharded_ftrl_fn(self.mesh, self.family_code, do_update,
-                                    use_dropout)
+                                    use_dropout, rowmajor)
         else:
             step = partial(_ftrl_block, family=self.family_code,
-                           do_update=do_update, use_dropout=use_dropout)
+                           do_update=do_update, use_dropout=use_dropout,
+                           rowmajor_pred=rowmajor)
         outs = []  # defer device->host reads so dispatches pipeline
         for b, lay, (y_b, w_b) in zip(br.buckets, layouts, labels):
             if use_dropout:
@@ -287,7 +306,7 @@ class FTRL:
             else:
                 sub = self._key    # unused by the kernel
             self.z, self.n, yh = step(
-                self.z, self.n, b.values, y_b, w_b, sub,
+                self.z, self.n, b.col_idx, b.values, y_b, w_b, sub,
                 self.learning_rate, self.learning_rate_decay,
                 self._l1, self._l2, self.dropout, lay)
             outs.append((b.row_ids, yh))

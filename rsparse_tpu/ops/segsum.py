@@ -483,7 +483,33 @@ def build_sched_layout(
         pos_l.append(jnp.asarray(posk))
     sop[~vmask] = flat_off    # trailing zero slot
 
-    # level 2: per-feature reduction over chunk rows
+    # level 2: per-feature reduction over chunk rows.  When NO feature
+    # needed chunking (every occurrence run fits one chunk — the
+    # hashed-feature regime where occurrences are ~1), level 2 would be a
+    # pure permutation: skip it entirely (pos2 = ()) and align the apply
+    # map with the CHUNK concatenation instead — sched_reduce_chunks
+    # passes chunk sums through unchanged.
+    if int(ncf.max()) == 1:
+        feats_out = tuple(feats_c_l)
+        if table_rows > sparse_factor * c_off:
+            all_feats = jnp.asarray(np.concatenate(
+                [np.asarray(f) for f in feats_c_l]))
+            return SchedLayout(tuple(feats_c_l), tuple(nnz_l),
+                               tuple(vals_l), tuple(rows_l), tuple(pos_l),
+                               jnp.asarray(sop), (), feats_out,
+                               None, all_feats)
+        inv_np = np.full((table_rows,), c_off, np.int32)
+        row0 = 0
+        for fk, nz in zip(feats_c_l, nnz_l):
+            nzv = np.asarray(nz)
+            nb_real = int((nzv > 0).sum())
+            fv = np.asarray(fk)[:nb_real]
+            inv_np[fv] = row0 + np.arange(nb_real, dtype=np.int32)
+            row0 += len(nzv)
+        return SchedLayout(tuple(feats_c_l), tuple(nnz_l), tuple(vals_l),
+                           tuple(rows_l), tuple(pos_l), jnp.asarray(sop),
+                           (), feats_out, jnp.asarray(inv_np), None)
+
     l2len = _pow2_grid(ncf, max_buckets)
     uniq2 = np.unique(l2len)
     pos2_l, feats_l = [], []
@@ -526,7 +552,11 @@ def sched_reduce_chunks(chunk_vals: jax.Array, layout) -> jax.Array:
     """Reduce bucket-concatenated per-CHUNK partial sums (C[, w]) to
     per-FEATURE totals ((level-2 rows)[, w]) through the level-2 position
     schedule.  Padding chunk rows carry exact zeros; the sentinel reads a
-    trailing zero row."""
+    trailing zero row.  An EMPTY level-2 schedule means chunks == features
+    (no feature was split — see build_sched_layout) and the chunk sums
+    pass through unchanged."""
+    if not layout.pos2:
+        return chunk_vals
     zero = jnp.zeros((1,) + chunk_vals.shape[1:], chunk_vals.dtype)
     pad = jnp.concatenate([chunk_vals, zero], axis=0)
     return jnp.concatenate([jnp.sum(pad[p2], axis=1)
