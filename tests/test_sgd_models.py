@@ -392,3 +392,62 @@ def test_glove_sched_epoch_matches_scatter_epoch():
     for a, b, name in zip(st1, st2, GloveState._fields):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-10, err_msg=name)
+
+
+def test_ftrl_fm_prediction_layout_parity():
+    """rowmajor_pred=True/False are the same math in different layouts
+    (models/ftrl.py, models/fm.py): one pass must agree to summation
+    order, including FTRL's dropout path (the dropped values must be
+    consistent between the prediction and update layouts)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rsparse_tpu.models.fm import _fm_block
+    from rsparse_tpu.models.ftrl import _ftrl_block
+    from rsparse_tpu.ops.segsum import staged_blocks_with_layouts
+
+    rng = np.random.default_rng(0)
+    F, n_rows = 300, 200
+    X = sp.random(n_rows, F, density=0.1, random_state=3, format="csr")
+    y = rng.integers(0, 2, n_rows).astype(float)
+    br, layouts = staged_blocks_with_layouts(X, jnp.float64, F, None,
+                                             "layout_parity")
+    b, lay = br.buckets[0], layouts[0]
+    y_b = jnp.asarray(y[np.minimum(np.asarray(b.row_ids), n_rows - 1)],
+                      jnp.float64)
+    w_b = jnp.ones_like(y_b)
+    key = jax.random.PRNGKey(7)
+
+    for dropout in (0.0, 0.4):
+        outs = []
+        for rm in (True, False):
+            z = jnp.zeros((F + 1,), jnp.float64)
+            n = jnp.zeros((F + 1,), jnp.float64)
+            z, n, yh = _ftrl_block(
+                z, n, b.col_idx, b.values.astype(jnp.float64), y_b, w_b,
+                key, 0.1, 0.5, 0.02, 0.01, dropout, lay, family=1,
+                do_update=True, use_dropout=dropout > 0, rowmajor_pred=rm)
+            outs.append((np.asarray(z), np.asarray(n), np.asarray(yh)))
+        for a, bb in zip(outs[0], outs[1]):
+            np.testing.assert_allclose(a, bb, atol=1e-12)
+
+    outs = []
+    for rm in (True, False):
+        r = 3
+        w0 = jnp.zeros((), jnp.float64)
+        aw0 = jnp.ones((), jnp.float64)
+        w = jnp.zeros((F + 1,), jnp.float64)
+        v = jnp.asarray(np.random.default_rng(1)
+                        .standard_normal((F + 1, r)) * 0.01)
+        acw = jnp.ones((F + 1,), jnp.float64)
+        acv = jnp.ones((F + 1, r), jnp.float64)
+        w0, aw0, w, v, acw, acv, yh = _fm_block(
+            w0, aw0, w, v, acw, acv, b.col_idx,
+            b.values.astype(jnp.float64),
+            jnp.where(y_b == 1, 1.0, -1.0), w_b, 0.2, 0.1, 0.01, 0.005,
+            lay, family=1, intercept=True, do_update=True,
+            rowmajor_pred=rm)
+        outs.append((float(w0), np.asarray(w), np.asarray(v),
+                     np.asarray(yh)))
+    for a, bb in zip(outs[0], outs[1]):
+        np.testing.assert_allclose(a, bb, atol=1e-12)
