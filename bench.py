@@ -867,6 +867,13 @@ def main():
                 "(parallel/sgd_sharded.py) whose aggregate rate scales "
                 "with chip count — per-chip ratios below 1 here are the "
                 "single-chip slice of that design, not a kernel gap",
+                "the proxy is a treadmill: kernel redesigns speed the "
+                "XLA-CPU baseline too (it runs the same code), so a "
+                "family's ratio can FALL while its absolute throughput "
+                "rises (round 5: ftrl 611k -> 1.1M rows/s on chip, "
+                "ratio 0.06 -> 0.05); absolute per-family values + the "
+                "persisted BASELINE_CPU.json maxima are the stable "
+                "comparison",
             ],
         },
     }
