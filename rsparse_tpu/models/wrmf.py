@@ -140,9 +140,9 @@ class WRMF(MatrixFactorizationRecommender):
         #: device via a static all-to-all plan instead of the implicit
         #: all-gather (parallel/alx.py; PAPERS.md ALX).  Requires a mesh
         #: with a "data" axis and no per-entity biases.
-        if routing not in (None, "alx"):
+        if routing not in (None, "alx", "alx_ragged"):
             raise ValueError(f"unknown routing {routing!r}")
-        if routing == "alx":
+        if routing in ("alx", "alx_ragged"):
             ax = set(mesh.axis_names) if mesh is not None else set()
             if mesh is None or not ("data" in ax or {"dcn", "ici"} <= ax):
                 raise ValueError("routing='alx' requires a mesh with a "
@@ -203,11 +203,14 @@ class WRMF(MatrixFactorizationRecommender):
         return is_multihost(self.mesh)
 
     def _bucketize(self, csr, include_empty: bool, n_src: Optional[int] = None):
-        if self.routing == "alx":
+        if self.routing in ("alx", "alx_ragged"):
             # host-built buckets -> static routing plan + cache-remapped
             # sharded buckets (parallel/alx.py); n_src = source-table rows.
             # On a ("dcn","ici") mesh the exchange rides both axes (the
-            # multi-host factor routing the plain all-gather path can't do).
+            # multi-host factor routing the plain all-gather path can't
+            # do).  "alx_ragged" swaps the padded all_to_all for
+            # ragged_all_to_all — exactly the referenced rows cross the
+            # wire (single-axis meshes; emulated off-TPU).
             from ..parallel.alx import stage_alx
             from ..parallel.multihost import DATA_AXES
             axis = ("data" if "data" in self.mesh.axis_names
@@ -215,7 +218,8 @@ class WRMF(MatrixFactorizationRecommender):
             br = bucket_rows(csr, self.dtype, include_empty=include_empty,
                              row_align=self._row_align)
             return stage_alx(br, n_src if n_src is not None
-                             else csr.shape[1], self.mesh, axis=axis)
+                             else csr.shape[1], self.mesh, axis=axis,
+                             ragged=self.routing == "alx_ragged")
         if self._multihost:
             # per-process bucket building: this host buckets only its own
             # contiguous row shard; shapes negotiated via tiny all-gathers

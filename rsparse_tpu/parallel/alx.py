@@ -85,6 +85,7 @@ def stage_alx(
     n_src: int,
     mesh: Mesh,
     axis="data",
+    ragged: bool = False,
 ) -> ALXStage:
     """Build the routing plan + cache-remapped sharded buckets.
 
@@ -111,7 +112,17 @@ def stage_alx(
                           if blocks else np.zeros((0,), np.int64)
                           for blocks in per_dev]
 
-    plan, remapped = build_routing_plan(col_idx_per_device, n_src_p, n_dev)
+    if ragged:
+        # zero per-pair padding on the wire (ragged_all_to_all; the dense
+        # plan pads every pair to the global max — PERF.md round-5 wire
+        # accounting measured that at 3.6x the information floor under
+        # zipf reference skew)
+        from .routing import build_ragged_routing_plan
+        plan, remapped = build_ragged_routing_plan(
+            col_idx_per_device, n_src_p, n_dev)
+    else:
+        plan, remapped = build_routing_plan(col_idx_per_device, n_src_p,
+                                            n_dev)
 
     spec = P(axis)
     out = []
@@ -155,6 +166,32 @@ def _get_exchange_fn(mesh: Mesh, axis, n_dev: int, m: int):
 
         fn = jax.jit(jax.shard_map(ex, mesh=mesh,
                                    in_specs=(P(axis), P(axis)),
+                                   out_specs=P(axis), check_vma=False))
+        _EXCHANGE_FNS[key] = fn
+    return fn
+
+
+def _get_ragged_exchange_fn(mesh: Mesh, axis, cache_size: int,
+                            emulate_m: int):
+    """Cached jitted ragged exchange (see _get_exchange_fn for why the
+    closure must not be rebuilt per sweep).  ``emulate_m > 0`` selects
+    the plan-equivalent dense emulation (XLA:CPU lacks
+    ragged-all-to-all; routing.py ragged_exchange_body)."""
+    from .routing import ragged_exchange_body
+
+    if isinstance(axis, tuple):
+        raise NotImplementedError(
+            "routing='alx_ragged' supports single-axis meshes")
+    key = ("ragged", mesh, axis, cache_size, emulate_m)
+    fn = _EXCHANGE_FNS.get(key)
+    if fn is None:
+        def ex(src_l, want_l, io_l, ss_l, oo_l, rs_l):
+            return ragged_exchange_body(
+                src_l, want_l, io_l, ss_l, oo_l, rs_l, axis, cache_size,
+                emulate_m=emulate_m)
+
+        fn = jax.jit(jax.shard_map(ex, mesh=mesh,
+                                   in_specs=(P(axis),) * 6,
                                    out_specs=P(axis), check_vma=False))
         _EXCHANGE_FNS[key] = fn
     return fn
@@ -244,11 +281,23 @@ def alx_sweep(
             src_x, jnp.zeros((stage.n_src_padded - src_x.shape[0], d),
                              src_x.dtype)], axis=0)
     src_sh = _put(src_x, mesh, P(axis))
-    req_sh = _put(np.asarray(stage.plan.request_ids).reshape(
-        n_dev * n_dev, m), mesh, P(axis))
 
     # one exchange per sweep: only the referenced factor rows cross the wire
-    cache = _get_exchange_fn(mesh, axis, n_dev, m)(src_sh, req_sh)
+    from .routing import RaggedRoutingPlan
+    if isinstance(stage.plan, RaggedRoutingPlan):
+        p = stage.plan
+        em = (0 if jax.devices()[0].platform == "tpu"
+              else max(int(np.asarray(p.send_sz).max()), 1))
+        cache = _get_ragged_exchange_fn(mesh, axis, p.cache_size, em)(
+            src_sh, _put(np.asarray(p.want), mesh, P(axis)),
+            _put(np.asarray(p.in_off), mesh, P(axis)),
+            _put(np.asarray(p.send_sz), mesh, P(axis)),
+            _put(np.asarray(p.out_off), mesh, P(axis)),
+            _put(np.asarray(p.recv_sz), mesh, P(axis)))
+    else:
+        req_sh = _put(np.asarray(stage.plan.request_ids).reshape(
+            n_dev * n_dev, m), mesh, P(axis))
+        cache = _get_exchange_fn(mesh, axis, n_dev, m)(src_sh, req_sh)
 
     bucket_fn = _get_bucket_fn(mesh, axis, cfg, n_tgt, has_rhs0,
                                str(jnp.dtype(sdt)), str(jnp.dtype(dtype)))

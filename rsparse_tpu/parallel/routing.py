@@ -17,7 +17,7 @@ guarantee that a routed gather equals a direct global gather.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -169,4 +169,197 @@ def wire_cost_report(plan: RoutingPlan, n_dev: int, rank: int,
         "allgather_bytes": allgather_bytes,
         "routed_over_allgather": (request_bytes + cache_bytes)
         / max(allgather_bytes, 1),
+    }
+
+
+class RaggedRoutingPlan(NamedTuple):
+    """Static ragged all-to-all routing plan (no per-pair max padding).
+
+    The dense :class:`RoutingPlan` pads every (device, owner) request list
+    to the GLOBAL max ``m`` — under zipf reference skew that inflates wire
+    bytes ~3.6x over the information floor (PERF.md round-5 accounting).
+    ``jax.lax.ragged_all_to_all`` moves exactly the requested rows; only
+    the STATIC buffer bounds are padded (per-owner total send rows /
+    per-device total receive rows — maxima of SUMS, not sums of maxima).
+
+    Per-device rows (stacked along the device axis, sharded at dispatch):
+
+    - ``want[d]``: (S_send_max,) owner-local row ids this device (as
+      OWNER) must slice, concatenated by requester id (padding -> 0)
+    - ``in_off[d][j]`` / ``send_sz[d][j]``: slice of ``want``'s gathered
+      rows destined to requester ``j``
+    - ``out_off[d][j]``: offset in requester ``j``'s cache where owner
+      ``d``'s chunk lands (receiver caches are concatenated by owner id)
+    - ``recv_sz[d][j]``: rows device ``d`` receives from owner ``j``
+
+    ``cache_size`` = max over devices of total requested rows.
+    """
+
+    want: jax.Array
+    in_off: jax.Array
+    send_sz: jax.Array
+    out_off: jax.Array
+    recv_sz: jax.Array
+    cache_size: int
+    shard_rows: int
+
+
+def build_ragged_routing_plan(
+    col_idx_per_device: Sequence[np.ndarray],
+    n_src: int,
+    n_dev: int,
+) -> Tuple[RaggedRoutingPlan, list]:
+    """Build the ragged plan + cache-remapped col_idx arrays (same
+    contract as :func:`build_routing_plan`)."""
+    if n_src % n_dev:
+        raise ValueError(
+            "n_dev must divide n_src for contiguous sharding "
+            f"(got n_src={n_src}, n_dev={n_dev}); pad the source table")
+    shard_rows = n_src // n_dev
+
+    # needed[d][o]: sorted unique owner-local ids device d wants from o
+    needed = []
+    for d in range(n_dev):
+        ids = np.unique(np.asarray(col_idx_per_device[d]).ravel())
+        needed.append([ids[(ids >= o * shard_rows)
+                           & (ids < (o + 1) * shard_rows)] - o * shard_rows
+                       for o in range(n_dev)])
+    n = np.array([[len(needed[d][o]) for o in range(n_dev)]
+                  for d in range(n_dev)], np.int64)   # n[requester, owner]
+
+    send_total = n.sum(axis=0)          # per owner: rows it must send
+    recv_total = n.sum(axis=1)          # per requester: rows it receives
+    s_send = int(send_total.max()) if n_dev else 1
+    cache_size = int(recv_total.max()) if n_dev else 1
+    s_send = max(s_send, 1)
+    cache_size = max(cache_size, 1)
+
+    want = np.zeros((n_dev, s_send), np.int32)
+    in_off = np.zeros((n_dev, n_dev), np.int32)
+    send_sz = np.zeros((n_dev, n_dev), np.int32)
+    out_off = np.zeros((n_dev, n_dev), np.int32)
+    recv_sz = np.zeros((n_dev, n_dev), np.int32)
+    # receiver cache offsets: concat by owner id
+    cache_off = np.zeros((n_dev, n_dev), np.int64)
+    for d in range(n_dev):
+        cache_off[d] = np.concatenate([[0], np.cumsum(n[d])[:-1]])
+
+    remapped = []
+    for d in range(n_dev):
+        # as OWNER: slices ordered by requester j
+        pos = 0
+        for j in range(n_dev):
+            ids = needed[j][d]
+            in_off[d, j] = pos
+            send_sz[d, j] = len(ids)
+            want[d, pos:pos + len(ids)] = ids
+            pos += len(ids)
+            # where owner d's chunk lands on requester j
+            out_off[d, j] = cache_off[j, d]
+        # as REQUESTER: sizes received from each owner
+        recv_sz[d] = n[d]
+        # remap this device's col ids to cache slots
+        lut = np.zeros(n_src, np.int32)
+        for o in range(n_dev):
+            ids = needed[d][o]
+            lut[o * shard_rows + ids] = (
+                cache_off[d, o] + np.arange(len(ids), dtype=np.int64)
+            ).astype(np.int32)
+        remapped.append(lut[np.asarray(col_idx_per_device[d])])
+
+    plan = RaggedRoutingPlan(
+        jnp.asarray(want), jnp.asarray(in_off), jnp.asarray(send_sz),
+        jnp.asarray(out_off), jnp.asarray(recv_sz), cache_size, shard_rows)
+    return plan, remapped
+
+
+def ragged_exchange_body(src_local, want_l, in_off_l, send_sz_l,
+                         out_off_l, recv_sz_l, axis, cache_size: int,
+                         emulate_m: int = 0):
+    """Inside-shard_map body of the ragged routed exchange: slice the
+    owner-ordered rows, then ONE ragged_all_to_all delivers every
+    device's cache with zero per-pair padding on the wire.
+
+    ``emulate_m > 0`` replaces the ragged collective with a dense
+    all_to_all padded to ``emulate_m`` rows per pair — XLA:CPU does not
+    implement ragged-all-to-all, so the CPU-mesh tests validate the
+    plan/offset/remap math through the emulation while TPU pods run the
+    real collective (identical results by construction)."""
+    r = src_local.shape[1]
+    sliced = src_local[want_l[0]]                       # (S_send_max, r)
+    n_dev = send_sz_l.shape[1]
+    if not emulate_m:
+        out = jnp.zeros((cache_size, r), src_local.dtype)
+        return jax.lax.ragged_all_to_all(
+            sliced, out, in_off_l[0], send_sz_l[0], out_off_l[0],
+            recv_sz_l[0], axis_name=axis)
+    M = emulate_m
+    iota = jnp.arange(M, dtype=jnp.int32)[None, :]
+    idx = in_off_l[0][:, None] + iota                   # (n_dev, M)
+    oks = iota < send_sz_l[0][:, None]
+    chunk = jnp.where(
+        oks[..., None],
+        sliced[jnp.minimum(idx, sliced.shape[0] - 1)], 0.0)
+    recv = jax.lax.all_to_all(chunk, axis, 0, 0)        # (n_dev, M, r)
+    # local cache offsets by owner = exclusive cumsum of recv sizes
+    roff = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(recv_sz_l[0])[:-1].astype(jnp.int32)])
+    okr = iota < recv_sz_l[0][:, None]
+    pos = jnp.where(okr, roff[:, None] + iota, cache_size)
+    out = jnp.zeros((cache_size + 1, r), src_local.dtype)
+    out = out.at[pos.reshape(-1)].add(
+        jnp.where(okr[..., None], recv, 0.0).reshape(-1, r))
+    return out[:cache_size]
+
+
+def ragged_factor_exchange(
+    mesh: Mesh,
+    src: jax.Array,
+    plan: RaggedRoutingPlan,
+    axis: str = "data",
+    emulate: Optional[bool] = None,
+) -> jax.Array:
+    """Deliver each device's ragged factor cache; index it with the
+    remapped col_idx from :func:`build_ragged_routing_plan`.  Returns a
+    (n_dev * cache_size, r) array sharded over ``axis``.
+
+    ``emulate=None`` auto-selects: the real ragged collective on TPU, the
+    dense-padded emulation elsewhere (XLA:CPU lacks ragged-all-to-all)."""
+    n_dev = mesh.shape[axis]
+    if emulate is None:
+        emulate = jax.devices()[0].platform != "tpu"
+    emulate_m = int(np.asarray(plan.send_sz).max()) if emulate else 0
+    emulate_m = max(emulate_m, 1) if emulate else 0
+    sh = NamedSharding(mesh, P(axis))
+    args = (jax.device_put(src, sh),
+            jax.device_put(plan.want, sh),
+            jax.device_put(plan.in_off, sh),
+            jax.device_put(plan.send_sz, sh),
+            jax.device_put(plan.out_off, sh),
+            jax.device_put(plan.recv_sz, sh))
+
+    def ex(src_l, want_l, io_l, ss_l, oo_l, rs_l):
+        return ragged_exchange_body(src_l, want_l, io_l, ss_l, oo_l, rs_l,
+                                    axis, plan.cache_size, emulate_m)
+
+    fn = jax.shard_map(ex, mesh=mesh, in_specs=(P(axis),) * 6,
+                       out_specs=P(axis), check_vma=False)
+    return fn(*args)
+
+
+def wire_cost_report_ragged(plan: RaggedRoutingPlan, n_dev: int,
+                            rank: int, itemsize: int = 4) -> dict:
+    """Analytic off-device wire bytes of the ragged exchange: exactly the
+    requested rows (minus each device's self-chunk)."""
+    n = np.asarray(plan.recv_sz, np.int64)              # (n_dev, n_dev)
+    off_device = int(n.sum() - np.trace(n))
+    cache_bytes = off_device * rank * itemsize
+    return {
+        "n_dev": n_dev,
+        "rows_on_wire": off_device,
+        "cache_bytes": cache_bytes,
+        "routed_total_bytes": cache_bytes,   # requests are static (staged)
+        "allgather_bytes": n_dev * (n_dev - 1) * plan.shard_rows
+        * rank * itemsize,
     }

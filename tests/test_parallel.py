@@ -365,3 +365,38 @@ def test_routing_alx_rejects_partial_dcn_mesh():
     mesh = Mesh(np.array(jax.devices()[:8]), ("dcn",))
     with pytest.raises(ValueError, match="routing='alx'"):
         WRMF(mesh=mesh, routing="alx")
+
+
+def test_alx_ragged_sweep_matches_unrouted():
+    """routing='alx_ragged' (ragged_all_to_all factor exchange, zero
+    per-pair padding; dense-emulated off-TPU) must equal the plain sweep
+    AND the padded alx plan."""
+    from rsparse_tpu.parallel.alx import alx_sweep, stage_alx
+
+    x, U, V, iu, ui = _problem(row_align=8)
+    mesh = make_mesh((8,), ("data",), jax.devices()[:8])
+    st = stage_alx(iu, U.shape[0], mesh, ragged=True)
+    for solver in (CONJUGATE_GRADIENT, CHOLESKY):
+        cfg = ALSConfig(feedback="implicit", solver=solver)
+        V1, loss1 = wrmf_sweep(U, V, iu.buckets, None, 0.1, 0.0, cfg)
+        V2, loss2 = alx_sweep(mesh, U, V, st, None, 0.1, 0.0, cfg)
+        np.testing.assert_allclose(np.asarray(V1), np.asarray(V2),
+                                   rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+
+
+def test_wrmf_model_routing_alx_ragged(ml100k_split):
+    """WRMF(mesh=..., routing='alx_ragged') end-to-end equals the
+    single-device model."""
+    from rsparse_tpu import WRMF
+    train, cv = ml100k_split
+    mesh = make_mesh((8,), ("data",), jax.devices()[:8])
+    kw = dict(rank=6, lambda_=0.5, feedback="implicit", seed=0,
+              solver="conjugate_gradient", precision="double", n_hot=0)
+    m1 = WRMF(**kw)
+    e1 = m1.fit_transform(train, n_iter=2, convergence_tol=-1)
+    m2 = WRMF(mesh=mesh, routing="alx_ragged", **kw)
+    e2 = m2.fit_transform(train, n_iter=2, convergence_tol=-1)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2),
+                               rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(m1.loss_history, m2.loss_history, rtol=1e-8)

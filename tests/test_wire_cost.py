@@ -151,3 +151,45 @@ def test_sharded_topk_merge_is_k_bounded(mesh):
         # never item-axis-sized
         assert elems <= n_u * k * n_dev * 2, ln
         assert elems < n_u * (n_i // n_dev), ln
+
+
+def test_ragged_exchange_matches_direct_gather(mesh):
+    """The ragged routed exchange (zero per-pair padding) must deliver
+    exactly the rows each device's bucket shard references, and its wire
+    bytes must sit at the information floor (sum of unique references)
+    — the dense plan's padded bytes are an upper bound."""
+    from rsparse_tpu.parallel.routing import (
+        build_ragged_routing_plan, build_routing_plan,
+        ragged_factor_exchange, wire_cost_report, wire_cost_report_ragged)
+
+    n_dev, rank, n_src = 8, 16, 4096
+    rng = np.random.default_rng(2)
+    # skewed demand: device d references d*40+8 rows (zipf-ish spread)
+    refs = [rng.choice(n_src, size=8 + 40 * d, replace=False)
+            for d in range(n_dev)]
+    plan, remapped = build_ragged_routing_plan(refs, n_src, n_dev)
+    src = jnp.asarray(rng.standard_normal((n_src, rank)), jnp.float32)
+    # XLA:CPU lacks ragged-all-to-all; the dense emulation runs the SAME
+    # plan/offsets/remap math.  The real collective must still LOWER.
+    cache = ragged_factor_exchange(mesh, src, plan)
+    txt = jax.jit(
+        lambda s: ragged_factor_exchange(mesh, s, plan, emulate=False)
+    ).lower(jax.ShapeDtypeStruct((n_src, rank), jnp.float32)).as_text()
+    assert "ragged_all_to_all" in txt or "ragged-all-to-all" in txt
+    cache_np = np.asarray(cache).reshape(n_dev, plan.cache_size, rank)
+    for d in range(n_dev):
+        got = cache_np[d][remapped[d]]
+        want = np.asarray(src)[refs[d]]
+        np.testing.assert_allclose(got, want, atol=0)
+
+    # wire bytes == off-device unique references exactly
+    rep = wire_cost_report_ragged(plan, n_dev, rank)
+    shard = n_src // n_dev
+    expect = sum(
+        int(np.sum((refs[d] < d * shard) | (refs[d] >= (d + 1) * shard)))
+        for d in range(n_dev))
+    assert rep["rows_on_wire"] == expect
+    # and at most the dense plan's padded volume
+    dense_plan, _ = build_routing_plan(refs, n_src, n_dev)
+    dense = wire_cost_report(dense_plan, n_dev, rank)
+    assert rep["routed_total_bytes"] <= dense["routed_total_bytes"]
