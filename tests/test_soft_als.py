@@ -168,3 +168,27 @@ def test_soft_impute_bf16_gather_close_to_f32():
     assert err < 0.05, err
     vtv = np.asarray(b16.v).T @ np.asarray(b16.v)
     np.testing.assert_allclose(vtv, np.eye(vtv.shape[0]), atol=1e-4)
+
+
+def test_linear_flow_cv_all_nan_scores_keep_first_solve():
+    """ADVICE r4 regression: a NaN score must never poison the best-score
+    bar.  With an EMPTY test matrix every lambda scores NaN (nanmean of
+    no relevant users); the model must still record a usable solve (the
+    first lambda's components) instead of crashing or keeping None."""
+    import warnings
+
+    rng = np.random.default_rng(0)
+    x = sp.random(60, 40, density=0.2, random_state=1, format="csr")
+    x.data[:] = 1.0
+    empty_test = sp.csr_matrix((30, 40))
+    cv_train = sp.csr_matrix(x[:30])
+    model = LinearFlow(rank=4, precision="double", seed=0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # nanmean of empty slices
+        res = model.cross_validate_lambda(x, cv_train, empty_test,
+                                          lambda_=[0.1, 1.0, 10.0],
+                                          metric="map@10")
+    assert all(np.isnan(r["score"]) for r in res)
+    assert model.components is not None
+    # fallback records the FIRST lambda, not the last
+    assert model.lambda_ == 0.1
